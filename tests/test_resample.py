@@ -1,0 +1,119 @@
+import numpy as np
+import jax.numpy as jnp
+import pytest
+import scipy.signal as sig
+
+from vv_dsp_tpu.ops import resample as vrs
+
+
+def _ref_linear(x, l, m):
+    # numpy mirror of src/resample/resampler.c:77-86
+    n = len(x)
+    out_n = (n - 1) * l // m + 1
+    out = np.zeros(out_n)
+    for k in range(out_n):
+        pos = k * m / l
+        pos = min(max(pos, 0.0), n - 1)
+        i0 = int(np.floor(pos))
+        i1 = min(i0 + 1, n - 1)
+        frac = pos - i0
+        out[k] = x[i0] * (1 - frac) + x[i1] * frac
+    return out
+
+
+def _ref_sinc(x, l, m, taps):
+    # numpy mirror of src/resample/resampler.c:88-119
+    n = len(x)
+    ratio = l / m
+    out_n = int(np.floor((n - 1) * ratio)) + 1
+    if taps % 2:
+        taps += 1
+    half = taps // 2
+    cutoff = min(1.0, ratio)
+    out = np.zeros(out_n)
+    for k in range(out_n):
+        pos = k / ratio
+        center = int(np.floor(pos))
+        acc = wsum = 0.0
+        for mm in range(-half, taps - half):
+            idx = center + mm
+            t = idx - pos
+            s = np.sinc(t * cutoff)
+            mi = mm + half
+            w = 0.5 - 0.5 * np.cos(2 * np.pi * mi / (taps - 1)) if taps > 1 else 1.0
+            weight = s * w
+            idx = min(max(idx, 0), n - 1)
+            acc += x[idx] * weight
+            wsum += weight
+        out[k] = acc / wsum if wsum != 0 else acc
+    return out
+
+
+@pytest.mark.parametrize("l,m", [(2, 1), (1, 2), (4, 3), (3, 2), (160, 147)])
+def test_linear_reference_parity(rng, l, m):
+    x = rng.standard_normal(200).astype(np.float32)
+    got = np.asarray(vrs.resample_linear(jnp.asarray(x), l, m))
+    ref = _ref_linear(x.astype(np.float64), l, m)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("l,m,taps", [(2, 1, 16), (4, 3, 32), (1, 2, 16)])
+def test_sinc_reference_parity(rng, l, m, taps):
+    x = rng.standard_normal(120).astype(np.float32)
+    got = np.asarray(vrs.resample_sinc(jnp.asarray(x), l, m, taps))
+    ref = _ref_sinc(x.astype(np.float64), l, m, taps)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, rtol=1e-3, atol=1e-3)
+
+
+def test_tone_roundtrip():
+    # tests/resample_tests.c:26-80: up2x -> down2x on a 1 kHz tone, 32-tap sinc
+    fs = 8000.0
+    n = 800
+    t = np.arange(n) / fs
+    x = np.sin(2 * np.pi * 1000.0 * t).astype(np.float32)
+    up = vrs.resample_sinc(jnp.asarray(x), 2, 1, 32)
+    down = np.asarray(vrs.resample_sinc(up, 1, 2, 32))
+    m = min(len(down), n)
+    err = np.abs(down[32 : m - 32] - x[32 : m - 32]).mean()
+    assert err < 0.1, err
+
+
+@pytest.mark.parametrize("up,down", [(2, 1), (1, 2), (4, 3), (3, 4), (160, 147)])
+def test_resample_poly_scipy_parity(rng, up, down):
+    x = rng.standard_normal(500).astype(np.float32)
+    got = np.asarray(vrs.resample_poly(jnp.asarray(x), up, down))
+    ref = sig.resample_poly(x.astype(np.float64), up, down)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, rtol=5e-3, atol=5e-4)
+
+
+def test_upfirdn_scipy_parity(rng):
+    x = rng.standard_normal(100).astype(np.float32)
+    h = sig.firwin(21, 0.4)
+    for up, down in [(1, 1), (3, 2), (2, 3)]:
+        got = np.asarray(vrs.upfirdn(h, jnp.asarray(x), up, down))
+        ref = sig.upfirdn(h, x.astype(np.float64), up, down)
+        assert got.shape == ref.shape, (up, down)
+        np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_interpolate_primitives(rng):
+    x = rng.standard_normal(50).astype(np.float32)
+    pos = jnp.asarray([0.0, 3.25, 48.9, 60.0])  # incl. clamped
+    lin = np.asarray(vrs.interpolate_linear(jnp.asarray(x), pos))
+    assert lin[0] == pytest.approx(x[0], abs=1e-6)
+    assert lin[3] == pytest.approx(x[-1], abs=1e-6)
+    assert lin[1] == pytest.approx(0.75 * x[3] + 0.25 * x[4], abs=1e-5)
+    cr = np.asarray(vrs.interpolate_catmull_rom(jnp.asarray(x), pos))
+    assert cr.shape == (4,)
+    assert cr[0] == pytest.approx(x[0], abs=1e-6)
+
+
+def test_batched(rng):
+    x = rng.standard_normal((3, 100)).astype(np.float32)
+    y = np.asarray(vrs.resample_poly(jnp.asarray(x), 4, 3))
+    for i in range(3):
+        ref = sig.resample_poly(x[i].astype(np.float64), 4, 3)
+        np.testing.assert_allclose(y[i], ref, rtol=5e-3, atol=5e-4)

@@ -1,0 +1,97 @@
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from vv_dsp_tpu.ops.stft import STFT, power_spectrogram_onesided
+
+
+def _roundtrip(x, nfft, hop, window="hann"):
+    plan = STFT(nfft, hop, window)
+    spec = plan.process(jnp.asarray(x))
+    return np.asarray(plan.reconstruct(spec, len(x)))
+
+
+def test_roundtrip_north_star_config1():
+    # north-star config 1: 1024-pt FFT + Hann STFT roundtrip on a 1 kHz sine,
+    # parity within 5e-5 (matches dump_stft_roundtrip + python/test_stft.py)
+    fs = 48000.0
+    n = 48000
+    t = np.arange(n) / fs
+    x = np.sin(2 * np.pi * 1000.0 * t).astype(np.float32)
+    y = _roundtrip(x, 1024, 256)
+    # interior: full window overlap (norm > 0 everywhere there)
+    err = np.abs(y[1024:-1024] - x[1024:-1024]).max()
+    assert err < 5e-5, err
+
+
+@pytest.mark.parametrize("nfft,hop", [(256, 64), (512, 256), (2048, 512)])
+def test_roundtrip_sizes(rng, nfft, hop):
+    x = rng.standard_normal(nfft * 8).astype(np.float32)
+    y = _roundtrip(x, nfft, hop)
+    mse = float(np.mean((y[nfft:-nfft] - x[nfft:-nfft]) ** 2))
+    assert mse < 1e-8, mse  # far tighter than the reference's 1e-2 bound
+
+
+def test_forward_matches_manual_frame_fft(rng):
+    nfft, hop = 64, 16
+    x = rng.standard_normal(256).astype(np.float32)
+    plan = STFT(nfft, hop, "hann")
+    spec = np.asarray(plan.process(jnp.asarray(x)))
+    w = np.asarray(plan.win)
+    nf = plan.num_frames(256)
+    assert spec.shape == (nf, nfft)
+    for f in range(nf):
+        seg = np.zeros(nfft, dtype=np.float32)
+        chunk = x[f * hop : f * hop + nfft]
+        seg[: len(chunk)] = chunk
+        ref = np.fft.fft(seg * w)
+        np.testing.assert_allclose(spec[f], ref, atol=2e-4)
+
+
+def test_rfft_mode(rng):
+    nfft, hop = 128, 32
+    x = rng.standard_normal(512).astype(np.float32)
+    plan = STFT(nfft, hop)
+    full = np.asarray(plan.process(jnp.asarray(x)))
+    half = np.asarray(plan.process(jnp.asarray(x), rfft=True))
+    np.testing.assert_allclose(half, full[..., : nfft // 2 + 1], atol=1e-4)
+    y_full = plan.reconstruct(jnp.asarray(full), 512)
+    y_half = plan.reconstruct(jnp.asarray(half), 512, rfft=True)
+    # edges have tiny OLA norm -> relative amplification of fp error
+    np.testing.assert_allclose(y_half, y_full, atol=1e-3)
+    np.testing.assert_allclose(y_half[64:-64], y_full[64:-64], atol=1e-5)
+
+
+def test_frame_count_short_signal():
+    plan = STFT(64, 16)
+    assert plan.num_frames(10) == 1
+    spec = plan.process(jnp.zeros(10, dtype=jnp.float32))
+    assert spec.shape == (1, 64)
+
+
+def test_spectrogram_magnitude(rng):
+    x = rng.standard_normal(400).astype(np.float32)
+    plan = STFT(128, 64)
+    mag = np.asarray(plan.spectrogram(jnp.asarray(x)))
+    assert (mag >= 0).all()
+
+
+def test_power_spectrogram_onesided(rng):
+    x = rng.standard_normal(512).astype(np.float32)
+    p = power_spectrogram_onesided(x, 128, 64)
+    assert p.shape[-1] == 65
+
+
+def test_hop_validation():
+    with pytest.raises(ValueError):
+        STFT(64, 65)
+
+
+def test_batched_channels(rng):
+    x = rng.standard_normal((3, 512)).astype(np.float32)
+    plan = STFT(128, 64)
+    spec = plan.process(jnp.asarray(x))
+    y = np.asarray(plan.reconstruct(spec, 512))
+    assert y.shape == (3, 512)
+    ref = np.asarray(plan.reconstruct(plan.process(jnp.asarray(x[1])), 512))
+    np.testing.assert_allclose(y[1], ref, atol=1e-6)

@@ -1,0 +1,45 @@
+"""Global dtype/precision policy.
+
+The reference library (vv-dsp) is float32 by default with float64 internals for
+constant generation (e.g. src/core/core.c:44-53, src/spectral/czt.c:84-111 use
+double accumulators / double chirp math). We mirror that idiom the TPU way:
+
+- compute dtype: float32 (TPU-native); bfloat16 allowed for throughput paths,
+- all *constants* (windows, twiddle/chirp tables, filterbanks, filter taps,
+  SOS coefficients) are generated host-side in numpy float64 and cast once,
+- matmul-form transforms use ``lax.Precision.HIGHEST`` so f32 MXU passes keep
+  the SciPy-parity contract (<= 5e-5 for FFT-class ops).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from jax import lax
+
+# Default real/complex compute dtypes (reference: vv_dsp_real = float,
+# vv_dsp_cpx = {float re, im}; include/vv_dsp/vv_dsp_types.h:70-128).
+DEFAULT_REAL_DTYPE = jnp.float32
+DEFAULT_COMPLEX_DTYPE = jnp.complex64
+
+# Matmul precision used by matmul-form transforms (DCT, mel filterbank,
+# polyphase). HIGHEST on TPU = f32 accumulate with multi-pass bf16 or native
+# f32, which is what the parity tolerances need.
+MATMUL_PRECISION = lax.Precision.HIGHEST
+
+
+def real_dtype(dtype=None):
+    """Resolve a real dtype argument (None -> default)."""
+    return DEFAULT_REAL_DTYPE if dtype is None else jnp.dtype(dtype)
+
+
+def complex_dtype(dtype=None):
+    """Resolve a complex dtype argument (None -> default)."""
+    return DEFAULT_COMPLEX_DTYPE if dtype is None else jnp.dtype(dtype)
+
+
+def complex_for_real(dtype) -> jnp.dtype:
+    """Matching complex dtype for a real dtype."""
+    d = jnp.dtype(dtype)
+    if d == jnp.float64:
+        return jnp.dtype(jnp.complex128)
+    return jnp.dtype(jnp.complex64)

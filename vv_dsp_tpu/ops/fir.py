@@ -1,0 +1,143 @@
+"""FIR design & application (reference: src/filter/fir.c, src/filter/common.c).
+
+Semantics preserved:
+- design: windowed-sinc lowpass h[n] = 2 fc sinc(2 fc (n - (N-1)/2)) * w[n]
+  with the filter module's private windows rect/hamming/hann/blackman
+  (src/filter/fir.c:17-73) — generated host-side in f64.
+- apply: causal convolution y[i] = sum_k h[k] x[i-k] with zero initial history,
+  i.e. scipy.signal.lfilter(h, [1], x). The reference's streaming ring buffer
+  (vv_dsp_fir_state, src/filter/fir.c:160-196) exists to carry the L-1 sample
+  history across blocks; on TPU the same contract is met by
+  (a) whole-signal batched convolution here, and
+  (b) ppermute halo exchange between time-shards (vv_dsp_tpu.parallel).
+
+TPU-native design: three interchangeable paths with identical numerics —
+  fir_apply          : direct conv via lax.conv_general_dilated (small taps;
+                       XLA maps it onto the MXU as an implicit matmul),
+  fir_apply_fft      : single-block rFFT linear convolution
+                       (vv_dsp_fir_apply_fft, src/filter/fir.c:75-135),
+  fir_apply_os       : blocked overlap-save rFFT convolution — the streaming
+                       FFT path the reference is missing (its FFT path is
+                       whole-signal only and reported broken,
+                       docs/simd_optimization_analysis.md:69-73).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from vv_dsp_tpu import config
+from vv_dsp_tpu.ops.fft import next_pow2
+from vv_dsp_tpu.ops.window import get_window_np
+
+
+def design_lowpass(num_taps: int, cutoff: float, window: str = "hamming",
+                   dtype=None) -> jnp.ndarray:
+    """Windowed-sinc lowpass (vv_dsp_fir_design_lowpass, src/filter/fir.c:47-73).
+
+    cutoff in (0, 1), same normalization as the reference (h sums to ~1 at DC).
+    """
+    if num_taps <= 0:
+        raise ValueError("num_taps must be positive")
+    if not (0.0 < cutoff < 1.0):
+        raise ValueError("cutoff must be in (0, 1)")
+    n = np.arange(num_taps, dtype=np.float64)
+    alpha = (num_taps - 1) / 2.0
+    m = n - alpha
+    h = 2.0 * cutoff * np.sinc(2.0 * cutoff * m)  # np.sinc is sin(pi x)/(pi x)
+    h = h * get_window_np(window, num_taps)
+    return jnp.asarray(h, dtype=config.real_dtype(dtype))
+
+
+def _causal_conv(x, h):
+    """y[i] = sum_k h[k] x[i-k], x[<0] = 0; batches over leading axes.
+
+    Implemented as lax.conv_general_dilated with left zero padding of L-1 —
+    XLA lowers this to an implicit-GEMM on the MXU.
+    """
+    taps = h.shape[-1]
+    batch_shape = x.shape[:-1]
+    n = x.shape[-1]
+    xb = x.reshape((-1, 1, n))
+    # Correlation with reversed taps == convolution.
+    kern = h[::-1].astype(x.dtype).reshape((1, 1, taps))
+    y = lax.conv_general_dilated(
+        xb, kern,
+        window_strides=(1,),
+        padding=[(taps - 1, 0)],
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        precision=config.MATMUL_PRECISION,
+    )
+    return y.reshape(batch_shape + (n,))
+
+
+def fir_apply(h, x):
+    """Causal FIR filtering, lfilter(h, [1], x) semantics
+    (vv_dsp_fir_apply, src/filter/fir.c:160-196 with zeroed initial state)."""
+    return _causal_conv(x, jnp.asarray(h, dtype=x.dtype))
+
+
+def fir_apply_fft(h, x):
+    """Whole-signal linear convolution via rFFT, truncated to len(x)
+    (vv_dsp_fir_apply_fft, src/filter/fir.c:75-135)."""
+    h = jnp.asarray(h, dtype=x.dtype)
+    n = x.shape[-1]
+    taps = h.shape[-1]
+    nfft = next_pow2(n + taps - 1)
+    y = jnp.fft.irfft(jnp.fft.rfft(x, nfft) * jnp.fft.rfft(h, nfft), nfft)
+    return y[..., :n]
+
+
+def fir_apply_os(h, x, block_size: int | None = None):
+    """Overlap-save blocked rFFT convolution, identical output to fir_apply.
+
+    Each block of `block_size` output samples is computed from a segment of
+    block_size + taps - 1 inputs (taps-1 of history), transformed at
+    nfft = next_pow2(block+taps-1). This is the streaming-FFT structure whose
+    per-shard version (history via ppermute) lives in vv_dsp_tpu.parallel.
+    """
+    h = jnp.asarray(h, dtype=x.dtype)
+    taps = h.shape[-1]
+    n = x.shape[-1]
+    if block_size is None:
+        block_size = max(next_pow2(4 * taps), 1024)
+    nfft = next_pow2(block_size + taps - 1)
+    n_blocks = -(-n // block_size)
+    right_pad = n_blocks * block_size - n
+    xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(taps - 1, right_pad)])
+    # Gather overlapping segments: block b covers xp[b*block : b*block + block+taps-1].
+    starts = jnp.arange(n_blocks) * block_size
+    offs = jnp.arange(block_size + taps - 1)
+    idx = starts[:, None] + offs[None, :]
+    segs = jnp.take(xp, idx, axis=-1)  # (..., n_blocks, block+taps-1)
+    hf = jnp.fft.rfft(h, nfft)
+    y = jnp.fft.irfft(jnp.fft.rfft(segs, nfft) * hf, nfft)
+    y = y[..., taps - 1 : taps - 1 + block_size]  # valid part of each block
+    y = y.reshape(y.shape[:-2] + (n_blocks * block_size,))
+    return y[..., :n]
+
+
+def filtfilt_fir(h, x):
+    """Zero-phase FIR (vv_dsp_filtfilt_fir, src/filter/common.c:23-80):
+    symmetric-pad by taps-1, forward conv, reverse, conv, reverse, center."""
+    h = jnp.asarray(h, dtype=x.dtype)
+    taps = h.shape[-1]
+    pad = taps - 1 if taps > 1 else 0
+    if pad:
+        # reference reflect_pad: left = [x[pad-1]..x[0]], right = [x[n-1]..]
+        # == numpy 'symmetric'
+        left = x[..., :pad][..., ::-1]
+        right = x[..., -pad:][..., ::-1]
+        ext = jnp.concatenate([left, x, right], axis=-1)
+    else:
+        ext = x
+    y = _causal_conv(ext, h)
+    y = _causal_conv(y[..., ::-1], h)[..., ::-1]
+    if pad:
+        y = y[..., pad:-pad]
+    return y

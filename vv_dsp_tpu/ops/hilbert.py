@@ -1,0 +1,61 @@
+"""Analytic signal, instantaneous phase & frequency
+(reference: src/spectral/hilbert.c).
+
+TPU-native design: the analytic signal is ifft(fft(x) * mask) with the
+one-sided doubling mask baked as a constant; instantaneous phase replaces the
+reference's sequential accumulation loop (src/spectral/hilbert.c:82-92) with a
+vectorized conj-product angle + cumulative sum — identical numerics (the
+per-step wrap-free increments are computed independently, then cumsum'd).
+
+Mask semantics (src/spectral/hilbert.c:47-59):
+  even N: keep DC and Nyquist, double bins 1..N/2-1, zero negatives;
+  odd  N: keep DC, double bins 1..(N-1)/2, zero negatives.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from vv_dsp_tpu import config
+
+
+def _analytic_mask(n: int) -> np.ndarray:
+    h = np.zeros(n, dtype=np.float64)
+    h[0] = 1.0
+    if n % 2 == 0:
+        h[1 : n // 2] = 2.0
+        h[n // 2] = 1.0
+    else:
+        h[1 : (n + 1) // 2] = 2.0
+    return h
+
+
+def hilbert_analytic(x):
+    """Analytic signal z = x + j*H[x] of (..., n) real -> complex."""
+    n = x.shape[-1]
+    mask = jnp.asarray(_analytic_mask(n), dtype=x.dtype)
+    spec = jnp.fft.fft(x.astype(config.complex_for_real(x.dtype)))
+    return jnp.fft.ifft(spec * mask)
+
+
+def instantaneous_phase(z):
+    """Continuous phase via conj-product increments
+    (vv_dsp_instantaneous_phase, src/spectral/hilbert.c:77-93)."""
+    phi0 = jnp.angle(z[..., :1])
+    dphi = jnp.angle(z[..., 1:] * jnp.conj(z[..., :-1]))
+    return jnp.concatenate([phi0, phi0 + jnp.cumsum(dphi, axis=-1)], axis=-1)
+
+
+def instantaneous_frequency(phase, fs: float):
+    """Hz from unwrapped phase; out[0] = 0
+    (vv_dsp_instantaneous_frequency, src/spectral/hilbert.c:95-113)."""
+    scale = fs / (2.0 * np.pi)
+    d = jnp.diff(phase, axis=-1) * scale
+    zero = jnp.zeros_like(d[..., :1])
+    return jnp.concatenate([zero, d], axis=-1)
+
+
+def envelope(x):
+    """|analytic| amplitude envelope."""
+    return jnp.abs(hilbert_analytic(x))

@@ -1,0 +1,277 @@
+"""IIR biquad cascades as parallel associative scans, plus native
+Butterworth / Chebyshev design.
+
+Reference: src/filter/iir.c — a Direct-Form-II-Transposed biquad
+    y  = b0 x + z1
+    z1 = b1 x - a1 y + z2
+    z2 = b2 x - a2 y
+applied per-sample, per-stage (sequential recurrence, src/filter/iir.c:21-43).
+The reference ships NO design functions (README overclaims; only caller-supplied
+coefficients) — design here is new surface required by the north star
+(BASELINE.json config 3).
+
+TPU-native design: the recurrence is linear in the state s = (z1, z2):
+    s' = A s + B x,   A = [[-a1, 1], [-a2, 0]],  B = [b1 - a1 b0, b2 - a2 b0]
+    y  = b0 x + s_prev[0]
+so a length-n filter run is an associative scan over affine maps
+(A, B x_t) with composition (f then g) = (g.A @ f.A, g.A @ f.b + g.b) —
+O(log n) depth on device instead of O(n) sequential steps. Stages of a cascade
+run sequentially (static Python loop; stage count is small). The scan is also
+the unit of cross-shard state carry in vv_dsp_tpu.parallel: each time-shard
+reduces to one affine map, shards compose via collective prefix.
+
+Numerics: scan elements are kept in float32 by default; coefficients are
+designed in float64 numpy. Parity contract is scipy.signal.sosfilt/lfilter
+within 3e-3 (python/test_filters.py:32-33).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+# ---------------------------------------------------------------------------
+# apply
+# ---------------------------------------------------------------------------
+
+def _biquad_scan(x, b0, b1, b2, a1, a2, s_init=None):
+    """One biquad over the last axis via associative scan.
+
+    x: (..., n). Returns (y, s_final) where s_final = (z1, z2) state after the
+    block — the quantity a streaming caller (or the sharded version) carries.
+    """
+    n = x.shape[-1]
+    dt = x.dtype
+    A = jnp.asarray([[-a1, 1.0], [-a2, 0.0]], dtype=dt)
+    B = jnp.asarray([b1 - a1 * b0, b2 - a2 * b0], dtype=dt)
+
+    # Element t: affine map s -> A s + B x_t. Batched shapes:
+    #   As: (..., n, 2, 2) broadcast constant; bs: (..., n, 2)
+    bs = x[..., None] * B  # (..., n, 2)
+    As = jnp.broadcast_to(A, x.shape + (2, 2))
+
+    def combine(f, g):
+        fa, fb = f
+        ga, gb = g
+        a = jnp.einsum("...ij,...jk->...ik", ga, fa)
+        b = jnp.einsum("...ij,...j->...i", ga, fb) + gb
+        return a, b
+
+    A_cum, b_cum = lax.associative_scan(combine, (As, bs), axis=-3)
+    if s_init is None:
+        s_after = b_cum  # (..., n, 2): state after sample t
+    else:
+        s_after = b_cum + jnp.einsum("...ij,...j->...i", A_cum, s_init)
+
+    # y_t = b0 x_t + s_{t-1}[0]
+    if s_init is None:
+        prev_z1 = jnp.concatenate(
+            [jnp.zeros_like(s_after[..., :1, 0]), s_after[..., :-1, 0]], axis=-1
+        )
+    else:
+        first = jnp.broadcast_to(s_init[..., 0:1], s_after[..., :1, 0].shape)
+        prev_z1 = jnp.concatenate([first, s_after[..., :-1, 0]], axis=-1)
+    y = b0 * x + prev_z1
+    return y, s_after[..., -1, :]
+
+
+def biquad_apply(x, b0, b1, b2, a1, a2, s_init=None):
+    """Single-biquad DF2T filter (vv_dsp_biquad_process semantics)."""
+    y, _ = _biquad_scan(x, float(b0), float(b1), float(b2), float(a1), float(a2),
+                        s_init)
+    return y
+
+
+def iir_apply(sos, x, return_state: bool = False):
+    """Biquad cascade (vv_dsp_iir_apply, src/filter/iir.c:29-43).
+
+    sos: (n_stages, 6) scipy-style [b0 b1 b2 a0 a1 a2] (a0 must be 1), or
+    (n_stages, 5) reference-style [b0 b1 b2 a1 a2]. Stage loop is static.
+    """
+    sos = np.asarray(sos, dtype=np.float64)
+    if sos.ndim == 1:
+        sos = sos[None, :]
+    states = []
+    y = x
+    for row in sos:
+        if row.shape[0] == 6:
+            b0, b1, b2, a0, a1, a2 = row
+            if abs(a0 - 1.0) > 1e-12:
+                b0, b1, b2, a1, a2 = b0 / a0, b1 / a0, b2 / a0, a1 / a0, a2 / a0
+        else:
+            b0, b1, b2, a1, a2 = row
+        y, s = _biquad_scan(y, b0, b1, b2, a1, a2)
+        states.append(s)
+    if return_state:
+        return y, jnp.stack(states, axis=-2)
+    return y
+
+
+def lfilter(b, a, x):
+    """General rational IIR via SOS-free direct affine scan when a is order<=2,
+    else cascade fallback is not attempted — provided for the common
+    reference/tool use (single biquad, tools/dump_iir.c)."""
+    b = np.asarray(b, dtype=np.float64)
+    a = np.asarray(a, dtype=np.float64)
+    b = b / a[0]
+    a = a / a[0]
+    if len(a) > 3 or len(b) > 3:
+        raise NotImplementedError("use iir_apply with SOS for order > 2")
+    b = np.pad(b, (0, 3 - len(b)))
+    a = np.pad(a, (0, 3 - len(a)))
+    return biquad_apply(x, b[0], b[1], b[2], a[1], a[2])
+
+
+# ---------------------------------------------------------------------------
+# design (host-side, float64 numpy) — new surface vs the reference
+# ---------------------------------------------------------------------------
+
+def _bilinear_zpk(z, p, k, fs=2.0):
+    fs2 = 2.0 * fs
+    z = np.asarray(z, dtype=np.complex128)
+    p = np.asarray(p, dtype=np.complex128)
+    degree = len(p) - len(z)
+    zb = (fs2 + z) / (fs2 - z)
+    pb = (fs2 + p) / (fs2 - p)
+    zb = np.append(zb, -np.ones(degree))
+    kb = k * np.real(np.prod(fs2 - z) / np.prod(fs2 - p))
+    return zb, pb, kb
+
+
+def _butter_prototype(order: int):
+    k = np.arange(order)
+    poles = np.exp(1j * np.pi * (2 * k + order + 1) / (2 * order))
+    return np.array([]), poles, 1.0
+
+
+def _cheby1_prototype(order: int, rp: float):
+    eps = np.sqrt(10.0 ** (rp / 10.0) - 1.0)
+    mu = np.arcsinh(1.0 / eps) / order
+    k = np.arange(order)
+    theta = np.pi * (2 * k + 1) / (2 * order)
+    poles = -np.sinh(mu) * np.sin(theta) + 1j * np.cosh(mu) * np.cos(theta)
+    gain = np.real(np.prod(-poles))
+    if order % 2 == 0:
+        gain /= np.sqrt(1.0 + eps * eps)
+    return np.array([]), poles, gain
+
+
+def _cheby2_prototype(order: int, rs: float):
+    de = 1.0 / np.sqrt(10.0 ** (rs / 10.0) - 1.0)
+    mu = np.arcsinh(1.0 / de) / order
+    k = np.arange(order)
+    theta = np.pi * (2 * k + 1) / (2 * order)
+    # zeros on the imaginary axis at sec(theta); drop infinite zero (odd order)
+    sines = np.sin(theta)
+    mask = np.abs(sines) > 1e-12 if order % 2 else np.ones(order, bool)
+    if order % 2:
+        mask = np.arange(order) != order // 2
+    zeros = 1j / np.cos(theta[mask]) * -1.0
+    zeros = np.conj(zeros)
+    poles = 1.0 / (-np.sinh(mu) * np.sin(theta) + 1j * np.cosh(mu) * np.cos(theta))
+    gain = np.real(np.prod(-poles) / np.prod(-zeros))
+    return zeros, poles, gain
+
+
+def _lp2lp_zpk(z, p, k, wo):
+    degree = len(p) - len(z)
+    return z * wo, p * wo, k * wo ** degree
+
+
+def _lp2hp_zpk(z, p, k, wo):
+    degree = len(p) - len(z)
+    zh = wo / z if len(z) else np.array([], dtype=np.complex128)
+    ph = wo / p
+    zh = np.append(zh, np.zeros(degree))
+    kh = k * np.real(np.prod(-z) / np.prod(-p)) if len(z) else k * np.real(
+        1.0 / np.prod(-p)
+    )
+    return zh, ph, kh
+
+
+def _pair_conjugates(vals):
+    """Sort complex values into conjugate pairs (+ at most one real leftover
+    per odd count), returning a list of 1- or 2-element arrays."""
+    vals = np.asarray(vals, dtype=np.complex128)
+    used = np.zeros(len(vals), dtype=bool)
+    pairs = []
+    order = np.argsort(-np.abs(vals))  # pair high-|.| (near unit circle) first
+    for i in order:
+        if used[i]:
+            continue
+        used[i] = True
+        if abs(vals[i].imag) < 1e-10:
+            # find another real
+            j = next((jj for jj in order if not used[jj]
+                      and abs(vals[jj].imag) < 1e-10), None)
+            if j is None:
+                pairs.append(np.array([vals[i]]))
+            else:
+                used[j] = True
+                pairs.append(np.array([vals[i], vals[j]]))
+        else:
+            conj = np.conj(vals[i])
+            j = next((jj for jj in order if not used[jj]
+                      and abs(vals[jj] - conj) < 1e-8), None)
+            if j is None:
+                raise ValueError("unpaired complex root")
+            used[j] = True
+            pairs.append(np.array([vals[i], vals[j]]))
+    return pairs
+
+
+def zpk2sos(z, p, k):
+    """Pair zeros/poles into second-order sections (simple pairing — exact for
+    the all-pole/all-(+-1)-zero designs produced here)."""
+    z = np.asarray(z, dtype=np.complex128)
+    p = np.asarray(p, dtype=np.complex128)
+    ppairs = _pair_conjugates(p)
+    zpairs = _pair_conjugates(z) if len(z) else []
+    n_sections = len(ppairs)
+    sos = []
+    for i in range(n_sections):
+        pp = ppairs[i]
+        zz = zpairs[i] if i < len(zpairs) else np.array([])
+        bpoly = np.real(np.poly(zz)) if len(zz) else np.array([1.0])
+        apoly = np.real(np.poly(pp))
+        b = np.zeros(3)
+        a = np.zeros(3)
+        b[: len(bpoly)] = bpoly
+        a[: len(apoly)] = apoly
+        if i == 0:
+            b = b * k
+        sos.append(np.concatenate([b, a]))
+    return np.asarray(sos)
+
+
+def _design(proto, btype: str, wn: float):
+    z, p, k = proto
+    fs = 2.0
+    warped = 2.0 * fs * np.tan(np.pi * wn / fs)
+    if btype == "lowpass":
+        z, p, k = _lp2lp_zpk(z, p, k, warped)
+    elif btype == "highpass":
+        z, p, k = _lp2hp_zpk(z, p, k, warped)
+    else:
+        raise ValueError("btype must be 'lowpass' or 'highpass'")
+    z, p, k = _bilinear_zpk(z, p, k, fs)
+    return zpk2sos(z, p, k)
+
+
+def butter_sos(order: int, wn: float, btype: str = "lowpass") -> np.ndarray:
+    """Butterworth digital design -> (sections, 6) SOS. wn normalized to
+    Nyquist like scipy.signal.butter(order, wn, btype, output='sos')."""
+    return _design(_butter_prototype(order), btype, wn)
+
+
+def cheby1_sos(order: int, rp: float, wn: float, btype: str = "lowpass") -> np.ndarray:
+    """Chebyshev-I digital design -> SOS (scipy.signal.cheby1 parity)."""
+    return _design(_cheby1_prototype(order, rp), btype, wn)
+
+
+def cheby2_sos(order: int, rs: float, wn: float, btype: str = "lowpass") -> np.ndarray:
+    """Chebyshev-II digital design -> SOS (scipy.signal.cheby2 parity)."""
+    return _design(_cheby2_prototype(order, rs), btype, wn)

@@ -1,0 +1,210 @@
+"""Resampling: reference-parity linear & windowed-sinc paths plus a TRUE
+polyphase rational resampler (the reference's polyphase is a TODO comment only,
+src/resample/resampler.c:13).
+
+Reference semantics preserved (src/resample/resampler.c):
+- output length = floor((n-1) * L/M) + 1 (endpoint mapping, :73),
+- linear path: per-output fractional-index interpolation with edge clamping
+  (:77-86, interpolate.c:4-21),
+- sinc path: windowed-sinc (Hann over taps, N-1 denominator) around
+  floor(in_pos), cutoff = min(1, L/M), edge clamp, normalize by kernel sum
+  (:88-119); taps forced even, 4..128.
+
+TPU-native design: the per-output-sample gather loops become dense phase
+matrices. For a rational ratio L/M the fractional position k*M/L has exactly L
+distinct fractional phases, so the sinc path is a (L, taps) weight matrix and
+output phase r is a stride-M correlation of the input with row
+(r*M mod L) — i.e. true polyphase structure executed as L batched convolutions
+on the MXU. `resample_poly` provides the scipy.signal.resample_poly-parity
+upfirdn path used by the north-star chain.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import numpy as np
+import jax.numpy as jnp
+from jax import lax
+
+from vv_dsp_tpu import config
+from vv_dsp_tpu.ops.window import get_window_np
+
+
+# ---------------------------------------------------------------------------
+# interpolation primitives (src/resample/interpolate.c)
+# ---------------------------------------------------------------------------
+
+def interpolate_linear(x, pos):
+    """Linear interp at fractional positions; pos<=0 -> x[0], pos>=n-1 -> x[-1]
+    (src/resample/interpolate.c:4-21)."""
+    n = x.shape[-1]
+    pos = jnp.clip(pos, 0.0, float(n - 1))
+    i0 = jnp.floor(pos).astype(jnp.int32)
+    i1 = jnp.minimum(i0 + 1, n - 1)
+    frac = (pos - i0).astype(x.dtype)
+    return jnp.take(x, i0, axis=-1) * (1 - frac) + jnp.take(x, i1, axis=-1) * frac
+
+
+def interpolate_catmull_rom(x, pos):
+    """Catmull-Rom cubic with clamped neighbors (src/resample/interpolate.c:23-64)."""
+    n = x.shape[-1]
+    pos = jnp.clip(pos, 0.0, float(n - 1))
+    i1 = jnp.floor(pos).astype(jnp.int32)
+    t = (pos - i1).astype(x.dtype)
+    i0 = jnp.clip(i1 - 1, 0, n - 1)
+    i2 = jnp.clip(i1 + 1, 0, n - 1)
+    i3 = jnp.clip(i1 + 2, 0, n - 1)
+    p0 = jnp.take(x, i0, axis=-1)
+    p1 = jnp.take(x, jnp.clip(i1, 0, n - 1), axis=-1)
+    p2 = jnp.take(x, i2, axis=-1)
+    p3 = jnp.take(x, i3, axis=-1)
+    t2 = t * t
+    t3 = t2 * t
+    return 0.5 * (
+        2 * p1
+        + (-p0 + p2) * t
+        + (2 * p0 - 5 * p1 + 4 * p2 - p3) * t2
+        + (-p0 + 3 * p1 - 3 * p2 + p3) * t3
+    )
+
+
+# ---------------------------------------------------------------------------
+# reference-parity resampler
+# ---------------------------------------------------------------------------
+
+def output_length(n: int, l: int, m: int) -> int:
+    """floor((n-1) * L/M) + 1 (src/resample/resampler.c:73)."""
+    return (n - 1) * l // m + 1
+
+
+def resample_linear(x, l: int, m: int):
+    """Linear-interpolation rational resampler (reference linear path)."""
+    n = x.shape[-1]
+    out_n = output_length(n, l, m)
+    k = np.arange(out_n, dtype=np.float64)
+    pos = jnp.asarray(k * m / l, dtype=x.dtype)
+    return interpolate_linear(x, pos)
+
+
+@functools.lru_cache(maxsize=64)
+def _sinc_phase_table(l: int, m: int, taps: int) -> np.ndarray:
+    """(L, taps) windowed-sinc weights for the L distinct fractional phases.
+
+    Phase r corresponds to outputs k with k*M mod L == r*M mod L... — we index
+    by r = k mod L directly: frac(k*M/L) = (k*M mod L)/L depends only on
+    k mod L. Weights follow src/resample/resampler.c:95-118: t = idx - in_pos,
+    kernel = sinc(t*cutoff) * hann01(m+half over taps), normalized by its sum.
+    """
+    cutoff = min(1.0, l / m)
+    half = taps // 2
+    win = get_window_np("hann", taps)  # hann over (taps-1) denominator, matches
+    rows = np.zeros((l, taps), dtype=np.float64)
+    offs = np.arange(-half, taps - half, dtype=np.float64)
+    for r in range(l):
+        frac = (r * m % l) / l  # in_pos - floor(in_pos)
+        t = offs - frac
+        w = np.sinc(t * cutoff) * win
+        s = w.sum()
+        rows[r] = w / s if s != 0.0 else w
+    return rows
+
+
+def resample_sinc(x, l: int, m: int, taps: int = 32):
+    """Windowed-sinc rational resampler, reference semantics
+    (src/resample/resampler.c:88-119) executed as a polyphase gather+matvec.
+
+    Edge handling: input index clamp to [0, n-1] like the reference.
+    """
+    taps = int(np.clip(taps, 4, 128))
+    if taps % 2:
+        taps += 1
+    n = x.shape[-1]
+    out_n = output_length(n, l, m)
+    half = taps // 2
+    wtab = jnp.asarray(_sinc_phase_table(l, m, taps), dtype=x.dtype)
+
+    k = np.arange(out_n)
+    center = (k * m) // l  # floor(k*M/L)
+    phase = k % l
+    idx = center[:, None] + np.arange(-half, taps - half)[None, :]
+    idx = np.clip(idx, 0, n - 1)
+    gathered = jnp.take(x, jnp.asarray(idx), axis=-1)  # (..., out_n, taps)
+    w = wtab[jnp.asarray(phase)]  # (out_n, taps)
+    return jnp.einsum("...ot,ot->...o", gathered, w,
+                      precision=config.MATMUL_PRECISION)
+
+
+# ---------------------------------------------------------------------------
+# scipy-parity polyphase (upfirdn) — the north-star resampler
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=64)
+def _resample_poly_filter(up: int, down: int) -> np.ndarray:
+    """scipy.signal.resample_poly default anti-alias FIR: firwin with a
+    Kaiser(5.0) window, 2*10*max(up,down)+1 taps, cutoff 1/max(up,down),
+    scaled by up."""
+    max_rate = max(up, down)
+    f_c = 1.0 / max_rate
+    half_len = 10 * max_rate
+    numtaps = 2 * half_len + 1
+    n = np.arange(numtaps, dtype=np.float64) - half_len
+    h = f_c * np.sinc(f_c * n)
+    h *= get_window_np("kaiser", numtaps, 5.0)
+    h /= h.sum()  # firwin scales so DC gain is 1
+    return h * up
+
+
+def _upfirdn_gather(h, x, up: int, down: int, offset: int, n_out: int):
+    """Polyphase upfirdn core: y[k] = full[offset + k*down] where
+    full[t] = sum_j x[j] h[t - j*up] (linear conv of the zero-stuffed signal).
+
+    Executed without materializing the up-rate stream: for t = offset+k*down,
+    contributing input indices are j = t//up - i with tap h[(t mod up) + i*up]
+    — a dense gather + per-phase dot (MXU matvec), the classic polyphase
+    decomposition.
+    """
+    h = np.asarray(h, dtype=np.float64)
+    n_in = x.shape[-1]
+    len_h = len(h)
+    h_pad = np.zeros((-(-len_h // up)) * up, dtype=np.float64)
+    h_pad[:len_h] = h
+    taps_pp = len(h_pad) // up
+    hpp = h_pad.reshape(taps_pp, up).T  # hpp[p, i] = h[p + i*up]
+
+    t = offset + np.arange(n_out) * down
+    anchor = t // up
+    phase = t % up
+    idx = anchor[:, None] - np.arange(taps_pp)[None, :]
+    valid = (idx >= 0) & (idx < n_in)
+    idx_c = np.clip(idx, 0, n_in - 1)
+    gathered = jnp.take(x, jnp.asarray(idx_c), axis=-1)  # (..., n_out, taps_pp)
+    gathered = jnp.where(jnp.asarray(valid), gathered, 0)
+    w = jnp.asarray(hpp, dtype=x.dtype)[jnp.asarray(phase)]  # (n_out, taps_pp)
+    return jnp.einsum("...ot,ot->...o", gathered, w,
+                      precision=config.MATMUL_PRECISION)
+
+
+def upfirdn(h, x, up: int = 1, down: int = 1):
+    """scipy.signal.upfirdn parity: zero-stuff by up, filter with h,
+    downsample by down; output length ceil((n_in-1)*up + len(h)) / down)."""
+    n_in = x.shape[-1]
+    n_out = -(-((n_in - 1) * up + len(np.asarray(h))) // down)
+    return _upfirdn_gather(h, x, up, down, 0, n_out)
+
+
+def resample_poly(x, up: int, down: int):
+    """scipy.signal.resample_poly(x, up, down) parity: polyphase anti-aliased
+    rational resampling with output length ceil(n*up/down) and centered
+    (zero-delay) default kaiser filter."""
+    g = math.gcd(up, down)
+    up //= g
+    down //= g
+    if up == 1 and down == 1:
+        return x
+    n_in = x.shape[-1]
+    n_out = -(-n_in * up // down)
+    h = _resample_poly_filter(up, down)
+    half_len = (len(h) - 1) // 2
+    return _upfirdn_gather(h, x, up, down, half_len, n_out)

@@ -1,0 +1,111 @@
+"""STFT / ISTFT / spectrogram (reference: src/spectral/stft.c).
+
+TPU-native design: the reference processes one frame per call in a host loop
+(vv_dsp_stft_process, src/spectral/stft.c:74-92); here the whole signal is
+framed in one batched gather and transformed with ONE batched FFT over the
+frame axis — the shape XLA tiles best. Reconstruction
+(vv_dsp_stft_reconstruct, src/spectral/stft.c:95-110) becomes a scatter-add
+overlap-add plus the w^2 normalization accumulator, divided out with the same
+1e-12 guard as the reference driver (tools/dump_stft_roundtrip.c:50-54).
+
+Semantics preserved:
+- forward: frame -> window multiply -> unscaled C2C FFT (complex spectrum of
+  all nfft bins; use `rfft=True` for the Hermitian-packed TPU-friendly form),
+- frames start at f*hop (non-centered), frame count for spectrogram
+  = 1 if n < nfft else 1 + (n - nfft + hop)//hop (src/spectral/stft.c:118),
+- inverse: 1/n-scaled IFFT -> multiply by window -> OLA; norm accumulates w^2.
+- constraint hop <= nfft (src/spectral/stft.c:33).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+
+from vv_dsp_tpu import config
+from vv_dsp_tpu.ops import framing
+from vv_dsp_tpu.ops import fft as _fft
+from vv_dsp_tpu.ops.window import get_window
+
+
+@dataclasses.dataclass(frozen=True)
+class STFT:
+    """Shape-specialized STFT "plan": precomputed window + static geometry.
+
+    Equivalent of the vv_dsp_stft handle (src/spectral/stft.c:8-19); the
+    reference supports boxcar/hann/hamming windows, we accept all 13.
+    """
+
+    nfft: int
+    hop: int
+    window: str = "hann"
+    window_param: float | None = None
+    dtype: object = None
+
+    def __post_init__(self):
+        if self.nfft <= 0 or self.hop <= 0 or self.hop > self.nfft:
+            raise ValueError("need 0 < hop <= nfft (src/spectral/stft.c:33)")
+
+    @property
+    def win(self) -> jnp.ndarray:
+        return get_window(self.window, self.nfft, self.window_param, self.dtype)
+
+    def num_frames(self, n: int) -> int:
+        """Frame count used by spectrogram (src/spectral/stft.c:118)."""
+        if n < self.nfft:
+            return 1
+        return 1 + (n - self.nfft + self.hop) // self.hop
+
+    def process(self, x, rfft: bool = False):
+        """Forward STFT of (..., n) -> (..., frames, nfft) complex
+        (or (..., frames, nfft//2+1) with rfft=True).
+
+        Frames start at f*hop; the tail frame is zero-padded like
+        vv_dsp_stft_spectrogram's tail handling (src/spectral/stft.c:124-137).
+        """
+        n = x.shape[-1]
+        nf = self.num_frames(n)
+        idx, mask = framing.frame_indices(n, self.nfft, self.hop, center=False,
+                                          n_frames=nf)
+        frames = jnp.take(x, idx, axis=-1)
+        frames = jnp.where(mask, frames, jnp.zeros_like(frames))
+        frames = frames * self.win.astype(frames.dtype)
+        if rfft:
+            return _fft.rfft(frames)
+        return _fft.fft(frames)
+
+    def reconstruct(self, spec, output_len: int, rfft: bool = False):
+        """Inverse STFT with w^2-normalized overlap-add.
+
+        spec: (..., frames, bins) -> (..., output_len). Matches
+        dump_stft_roundtrip's per-sample y = recon/norm with norm > 1e-12
+        guard (tools/dump_stft_roundtrip.c:50-54).
+        """
+        if rfft:
+            time = _fft.irfft(spec, self.nfft)
+        else:
+            time = _fft.ifft(spec).real
+        w = self.win.astype(time.dtype)
+        recon = framing.overlap_add(time * w, self.hop, output_len)
+        nf = spec.shape[-2]
+        wsq = jnp.broadcast_to(w * w, (nf, self.nfft))
+        norm = framing.overlap_add(wsq, self.hop, output_len)
+        return jnp.where(norm > 1e-12, recon / jnp.where(norm > 1e-12, norm, 1.0),
+                         recon)
+
+    def spectrogram(self, x):
+        """Magnitude spectrogram (vv_dsp_stft_spectrogram,
+        src/spectral/stft.c:112-144): (..., n) -> (..., frames, nfft)."""
+        return jnp.abs(self.process(x))
+
+
+def stft_spectrogram(x, nfft: int, hop: int, window: str = "hann"):
+    return STFT(nfft, hop, window).spectrogram(x)
+
+
+def power_spectrogram_onesided(x, nfft: int, hop: int, window: str = "hann"):
+    """|rfft|^2 over frames — the input shape expected by the MFCC pipeline
+    (reference builds it from vv_dsp_stft_spectrogram bins, tools/dump_mfcc.c)."""
+    spec = STFT(nfft, hop, window).process(x, rfft=True)
+    return jnp.square(jnp.abs(spec))
