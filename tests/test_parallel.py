@@ -1,0 +1,130 @@
+"""Sharded-op parity: every vv_dsp_tpu.parallel operator must reproduce its
+single-device vv_dsp_tpu.ops counterpart bit-for-tolerance on an 8-virtual-
+device CPU mesh — the seam-correctness contract (SURVEY.md section 2.12).
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from vv_dsp_tpu.ops import fir, iir, resample
+from vv_dsp_tpu.ops.stft import STFT
+from vv_dsp_tpu import parallel
+from vv_dsp_tpu.parallel import mesh as pmesh
+
+
+MESH_SHAPES = [(1, 8), (2, 4), (4, 2), (8, 1)]
+
+
+def make_mesh(shape):
+    return pmesh.make_mesh(shape[0], shape[1])
+
+
+@pytest.fixture
+def sig(rng):
+    return jnp.asarray(rng.standard_normal((8, 4096)), dtype=jnp.float32)
+
+
+@pytest.mark.parametrize("shape", MESH_SHAPES)
+@pytest.mark.parametrize("taps", [1, 9, 64, 257])
+def test_fir_sharded_matches_dense(sig, shape, taps):
+    mesh = make_mesh(shape)
+    h = fir.design_lowpass(taps, 0.25) if taps > 1 else jnp.ones((1,))
+    want = fir.fir_apply(h, sig)
+    got = parallel.fir_apply_sharded(h, sig, mesh)
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("shape", [(1, 8), (2, 4)])
+def test_fir_sharded_fft_path(sig, shape):
+    mesh = make_mesh(shape)
+    h = fir.design_lowpass(301, 0.1)
+    want = fir.fir_apply(h, sig)
+    got = parallel.fir_apply_sharded(h, sig, mesh, use_fft=True)
+    np.testing.assert_allclose(got, want, rtol=5e-5, atol=5e-5)
+
+
+@pytest.mark.parametrize("shape", MESH_SHAPES)
+def test_iir_sharded_matches_dense(sig, shape):
+    mesh = make_mesh(shape)
+    sos = iir.butter_sos(4, 0.2)
+    want = iir.iir_apply(sos, sig)
+    got = parallel.iir_apply_sharded(sos, sig, mesh)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_iir_sharded_matches_scipy(sig):
+    scipy_signal = pytest.importorskip("scipy.signal")
+    mesh = make_mesh((2, 4))
+    sos = iir.butter_sos(4, 0.2)
+    want = scipy_signal.sosfilt(np.asarray(sos, dtype=np.float64),
+                                np.asarray(sig, dtype=np.float64))
+    got = parallel.iir_apply_sharded(sos, sig, mesh)
+    np.testing.assert_allclose(got, want, rtol=3e-3, atol=3e-3)
+
+
+@pytest.mark.parametrize("shape", [(1, 8), (2, 4), (8, 1)])
+@pytest.mark.parametrize("nfft,hop", [(256, 64), (1024, 256), (512, 512)])
+def test_stft_sharded_matches_dense(sig, shape, nfft, hop):
+    mesh = make_mesh(shape)
+    plan = STFT(nfft, hop)
+    want = plan.process(sig, rfft=True)
+    got = parallel.stft_process_sharded(sig, nfft, hop, mesh)
+    # The sharded op emits n//hop frames; the reference count
+    # 1 + (n-nfft+hop)//hop can exceed that by one fully-zero-padded frame
+    # when nfft == hop — those extra frames are identically zero.
+    nf = min(want.shape[-2], got.shape[-2])
+    np.testing.assert_allclose(got[..., :nf, :], want[..., :nf, :],
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(want[..., nf:, :], 0.0, atol=1e-6)
+
+
+@pytest.mark.parametrize("shape", [(1, 8), (2, 4)])
+def test_stft_roundtrip_sharded(sig, shape):
+    mesh = make_mesh(shape)
+    nfft, hop = 512, 128
+    spec = parallel.stft_process_sharded(sig, nfft, hop, mesh)
+    out = parallel.stft_reconstruct_sharded(spec, nfft, hop, mesh)
+    n = sig.shape[-1]
+    # Fully-overlapped samples reconstruct the signal exactly; the first and
+    # last nfft samples are the usual OLA warm-up/tail edges (Hann ~ 0 at the
+    # frame ends), same as the dense path.
+    np.testing.assert_allclose(out[..., nfft : n - nfft],
+                               sig[..., nfft : n - nfft],
+                               rtol=5e-4, atol=5e-4)
+    # And the sharded roundtrip equals the dense roundtrip EVERYWHERE,
+    # including both edges — the seam-stitching contract.
+    dense = STFT(nfft, hop).reconstruct(spec, n, rfft=True)
+    np.testing.assert_allclose(out, dense, rtol=5e-4, atol=5e-4)
+
+
+@pytest.mark.parametrize("shape", [(1, 8), (2, 4), (8, 1)])
+@pytest.mark.parametrize("up,down", [(2, 1), (1, 2), (4, 3), (3, 4), (160, 147)])
+def test_resample_poly_sharded_matches_dense(sig, shape, up, down):
+    mesh = make_mesh(shape)
+    n = sig.shape[-1]
+    # trim so n divides nb*down
+    nb = shape[1]
+    n2 = (n // (nb * down)) * nb * down
+    x = sig[..., :n2]
+    want = resample.resample_poly(x, up, down)
+    got = parallel.resample_poly_sharded(x, up, down, mesh)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_channel_sharded_ops_run(sig):
+    mesh = make_mesh((8, 1))
+    xs = parallel.shard_channels(jnp.tile(sig, (2, 1)), mesh)
+    h = fir.design_lowpass(33, 0.3)
+    y = jax.jit(lambda v: fir.fir_apply(h, v))(xs)
+    np.testing.assert_allclose(y[:8], fir.fir_apply(h, sig), rtol=1e-5,
+                               atol=1e-5)
+
+
+def test_pad_to_blocks():
+    mesh = make_mesh((1, 8))
+    x = jnp.ones((2, 100))
+    xp, n = pmesh.pad_to_blocks(x, mesh)
+    assert xp.shape[-1] == 104 and n == 100
+    np.testing.assert_array_equal(np.asarray(xp[..., 100:]), 0.0)

@@ -37,13 +37,15 @@ from jax import lax
 # apply
 # ---------------------------------------------------------------------------
 
-def _biquad_scan(x, b0, b1, b2, a1, a2, s_init=None):
-    """One biquad over the last axis via associative scan.
+def _biquad_cumulative(x, b0, b1, b2, a1, a2):
+    """Cumulative affine maps of one biquad over the last axis.
 
-    x: (..., n). Returns (y, s_final) where s_final = (z1, z2) state after the
-    block — the quantity a streaming caller (or the sharded version) carries.
+    x: (..., n). Returns (A_cum, b_cum) with A_cum: (..., n, 2, 2),
+    b_cum: (..., n, 2) such that the state after sample t from entry state s0
+    is s_t = A_cum[t] @ s0 + b_cum[t]. This decomposition is what lets the
+    sharded version (vv_dsp_tpu.parallel) compose whole blocks: a shard's
+    total map is (A_cum[-1], b_cum[-1]).
     """
-    n = x.shape[-1]
     dt = x.dtype
     A = jnp.asarray([[-a1, 1.0], [-a2, 0.0]], dtype=dt)
     B = jnp.asarray([b1 - a1 * b0, b2 - a2 * b0], dtype=dt)
@@ -60,22 +62,54 @@ def _biquad_scan(x, b0, b1, b2, a1, a2, s_init=None):
         b = jnp.einsum("...ij,...j->...i", ga, fb) + gb
         return a, b
 
-    A_cum, b_cum = lax.associative_scan(combine, (As, bs), axis=-3)
+    return lax.associative_scan(combine, (As, bs), axis=-3)
+
+
+def _biquad_output(x, b0, s_init, A_cum, b_cum):
+    """DF2T output from cumulative maps: y_t = b0 x_t + z1_{t-1}.
+
+    Returns (y, s_final)."""
     if s_init is None:
         s_after = b_cum  # (..., n, 2): state after sample t
-    else:
-        s_after = b_cum + jnp.einsum("...ij,...j->...i", A_cum, s_init)
-
-    # y_t = b0 x_t + s_{t-1}[0]
-    if s_init is None:
         prev_z1 = jnp.concatenate(
             [jnp.zeros_like(s_after[..., :1, 0]), s_after[..., :-1, 0]], axis=-1
         )
     else:
+        # s_init: (..., 2) per batch entry — add the time axis for broadcast.
+        s_after = b_cum + jnp.einsum("...tij,...tj->...ti", A_cum,
+                                     s_init[..., None, :])
         first = jnp.broadcast_to(s_init[..., 0:1], s_after[..., :1, 0].shape)
         prev_z1 = jnp.concatenate([first, s_after[..., :-1, 0]], axis=-1)
     y = b0 * x + prev_z1
     return y, s_after[..., -1, :]
+
+
+def _biquad_scan(x, b0, b1, b2, a1, a2, s_init=None):
+    """One biquad over the last axis via associative scan.
+
+    x: (..., n). Returns (y, s_final) where s_final = (z1, z2) state after the
+    block — the quantity a streaming caller (or the sharded version) carries.
+    """
+    A_cum, b_cum = _biquad_cumulative(x, b0, b1, b2, a1, a2)
+    return _biquad_output(x, b0, s_init, A_cum, b_cum)
+
+
+def normalize_sos(sos) -> np.ndarray:
+    """Validate/normalize SOS to (n_stages, 5) float64 rows [b0 b1 b2 a1 a2]
+    with a0 divided out (accepts scipy's (n, 6) layout)."""
+    sos = np.asarray(sos, dtype=np.float64)
+    if sos.ndim == 1:
+        sos = sos[None, :]
+    out = []
+    for row in sos:
+        if row.shape[0] == 6:
+            b0, b1, b2, a0, a1, a2 = row
+            if abs(a0 - 1.0) > 1e-12:
+                b0, b1, b2, a1, a2 = b0 / a0, b1 / a0, b2 / a0, a1 / a0, a2 / a0
+        else:
+            b0, b1, b2, a1, a2 = row
+        out.append((b0, b1, b2, a1, a2))
+    return np.asarray(out)
 
 
 def biquad_apply(x, b0, b1, b2, a1, a2, s_init=None):
@@ -91,18 +125,9 @@ def iir_apply(sos, x, return_state: bool = False):
     sos: (n_stages, 6) scipy-style [b0 b1 b2 a0 a1 a2] (a0 must be 1), or
     (n_stages, 5) reference-style [b0 b1 b2 a1 a2]. Stage loop is static.
     """
-    sos = np.asarray(sos, dtype=np.float64)
-    if sos.ndim == 1:
-        sos = sos[None, :]
     states = []
     y = x
-    for row in sos:
-        if row.shape[0] == 6:
-            b0, b1, b2, a0, a1, a2 = row
-            if abs(a0 - 1.0) > 1e-12:
-                b0, b1, b2, a1, a2 = b0 / a0, b1 / a0, b2 / a0, a1 / a0, a2 / a0
-        else:
-            b0, b1, b2, a1, a2 = row
+    for b0, b1, b2, a1, a2 in normalize_sos(sos):
         y, s = _biquad_scan(y, b0, b1, b2, a1, a2)
         states.append(s)
     if return_state:

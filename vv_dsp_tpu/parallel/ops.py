@@ -1,0 +1,302 @@
+"""Sharded DSP operators: FIR, IIR, STFT, polyphase resample over a
+(channel, block) mesh.
+
+Each operator is numerically identical to its single-device counterpart in
+``vv_dsp_tpu.ops`` (the parity tests assert this on an 8-device CPU mesh);
+the seams between time-block shards are stitched with the halo exchanges in
+``vv_dsp_tpu.parallel.halo``:
+
+  op              halo                     reference state being replaced
+  ----------      ----------------------   ---------------------------------
+  FIR             taps-1 from left         history ring buffer
+                                           (src/filter/fir.c:170-193)
+  STFT analysis   nfft-hop from right      frame overlap into next block
+                                           (src/spectral/stft.c:74-92)
+  STFT synthesis  nfft-hop spill to right  OLA + w^2 norm accumulation
+                                           (src/spectral/stft.c:103-109)
+  IIR             per-shard affine compose DF2T recurrence
+                  (all_gather, exclusive   (src/filter/iir.c:21-27)
+                  prefix over blocks)
+  resample_poly   polyphase taps each way  (reference is single-block only)
+
+Sharding contract: global arrays are (channels, time) [or (channels, frames,
+bins) for spectra]; the channel axis shards over mesh axis "channel"
+(embarrassingly parallel), the time/frame axis over "block". Time length must
+divide evenly by the block-shard count (use mesh.pad_to_blocks).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from vv_dsp_tpu import config
+from vv_dsp_tpu.ops import fir as _fir
+from vv_dsp_tpu.ops import iir as _iir
+from vv_dsp_tpu.ops import framing as _framing
+from vv_dsp_tpu.ops import resample as _resample
+from vv_dsp_tpu.ops.fft import next_pow2
+from vv_dsp_tpu.ops.window import get_window
+from vv_dsp_tpu.parallel import halo as _halo
+
+
+def shard_channels(x, mesh: Mesh, channel_axis: str = "channel"):
+    """Place a (channels, ...) array with the channel axis sharded — the
+    embarrassingly-parallel data layout every pointwise/spectral op in
+    vv_dsp_tpu.ops accepts unchanged (XLA partitions them automatically)."""
+    spec = P(channel_axis, *([None] * (x.ndim - 1)))
+    return jax.device_put(x, NamedSharding(mesh, spec))
+
+
+def _specs(mesh: Mesh, channel_axis: str, block_axis: str):
+    io = P(channel_axis, block_axis)
+    return io
+
+
+# ---------------------------------------------------------------------------
+# FIR — overlap-save with left halo (the ring-buffer replacement)
+# ---------------------------------------------------------------------------
+
+def fir_apply_sharded(h, x, mesh: Mesh, channel_axis: str = "channel",
+                      block_axis: str = "block", use_fft: bool | None = None):
+    """Causal FIR over a sharded time axis; identical to ops.fir.fir_apply.
+
+    x: (channels, n) with n % n_block_shards == 0. Each shard pulls the
+    taps-1 sample halo from its left neighbor over ICI (zeros on shard 0 =
+    zero initial history) and runs a local conv — direct (implicit-GEMM on
+    the MXU) for small taps, overlap-save rFFT otherwise.
+    """
+    h = jnp.asarray(h)
+    taps = h.shape[-1]
+    if use_fft is None:
+        use_fft = taps > 128
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(), P(channel_axis, block_axis)),
+        out_specs=P(channel_axis, block_axis))
+    def run(h, xb):
+        left = _halo.halo_from_left(xb, taps - 1, block_axis)
+        ext = jnp.concatenate([left, xb], axis=-1)
+        if use_fft:
+            y = _fir.fir_apply_os(h, ext)
+        else:
+            y = _fir.fir_apply(h, ext)
+        return y[..., taps - 1:]
+
+    return run(h.astype(x.dtype), x)
+
+
+# ---------------------------------------------------------------------------
+# IIR — block-local associative scan + cross-shard affine composition
+# ---------------------------------------------------------------------------
+
+def iir_apply_sharded(sos, x, mesh: Mesh, channel_axis: str = "channel",
+                      block_axis: str = "block"):
+    """Biquad cascade over a sharded time axis; identical to ops.iir.iir_apply.
+
+    Per stage: each shard computes its cumulative affine maps
+    (A_cum, b_cum) via associative scan, all_gathers the per-shard TOTAL maps
+    over the block axis, folds the exclusive prefix (a static loop over the
+    shard count — n_blocks tiny 2x2 matmuls), and corrects its local output
+    with the resulting entry state. Stage loop is static (cascades are short).
+    """
+    rows = _iir.normalize_sos(sos)
+    nb = mesh.shape[block_axis]
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=P(channel_axis, block_axis),
+        out_specs=P(channel_axis, block_axis))
+    def run(xb):
+        my = lax.axis_index(block_axis)
+        y = xb
+        for b0, b1, b2, a1, a2 in rows:
+            A_cum, b_cum = _iir._biquad_cumulative(y, b0, b1, b2, a1, a2)
+            # Per-shard total map. A_tot is data-independent (A^t_local,
+            # identical on every equal-length shard); only b_tot is gathered.
+            A_tot = A_cum[..., -1, :, :]
+            b_tot = b_cum[..., -1, :]  # (ch_local, 2)
+            if nb == 1:
+                s0 = None
+            else:
+                b_all = lax.all_gather(b_tot, block_axis)  # (nb, ch, 2)
+                A_loc = A_tot[0] if A_tot.ndim == 3 else A_tot
+                s = jnp.zeros_like(b_all[0])
+                entries = [s]
+                for k in range(1, nb):
+                    s = jnp.einsum("ij,...j->...i", A_loc, s) + b_all[k - 1]
+                    entries.append(s)
+                s0 = jnp.take(jnp.stack(entries), my, axis=0)
+            y, _ = _iir._biquad_output(y, b0, s0, A_cum, b_cum)
+        return y
+
+    return run(x)
+
+
+# ---------------------------------------------------------------------------
+# STFT — analysis right-halo, synthesis right-spill OLA
+# ---------------------------------------------------------------------------
+
+def stft_process_sharded(x, nfft: int, hop: int, mesh: Mesh,
+                         window: str = "hann", rfft: bool = True,
+                         channel_axis: str = "channel",
+                         block_axis: str = "block"):
+    """Forward STFT over a time-sharded signal.
+
+    x: (channels, n); n % (n_block_shards * hop) == 0 and nfft % hop == 0
+    required so frame ownership is uniform: shard k owns the frames starting
+    inside its block, pulling nfft-hop samples of right halo (zeros past the
+    signal end, matching the reference's zero-padded tail frames,
+    src/spectral/stft.c:124-137).
+
+    Returns (channels, n//hop, bins) with the FRAME axis sharded over
+    `block_axis` — feed it straight to sharded spectral ops or
+    stft_reconstruct_sharded without any resharding. The global frame count
+    here is n//hop (all tail frames); slice [..., :nf, :] for the reference's
+    spectrogram count 1 + (n - nfft + hop)//hop.
+    """
+    if nfft % hop:
+        raise ValueError("sharded STFT requires nfft % hop == 0")
+    n = x.shape[-1]
+    nb = mesh.shape[block_axis]
+    if n % (nb * hop):
+        raise ValueError("signal length must divide n_block_shards * hop")
+    win = get_window(window, nfft, dtype=x.dtype)
+    overlap = nfft - hop
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(channel_axis, block_axis), P()),
+        out_specs=P(channel_axis, block_axis, None))
+    def run(xb, w):
+        right = _halo.halo_from_right(xb, overlap, block_axis)
+        ext = jnp.concatenate([xb, right], axis=-1)
+        t_local = xb.shape[-1]
+        nf_local = t_local // hop
+        idx = (jnp.arange(nf_local, dtype=jnp.int32)[:, None] * hop
+               + jnp.arange(nfft, dtype=jnp.int32)[None, :])
+        frames = jnp.take(ext, idx, axis=-1) * w
+        if rfft:
+            return jnp.fft.rfft(frames)
+        return jnp.fft.fft(frames)
+
+    return run(x, win)
+
+
+def stft_reconstruct_sharded(spec, nfft: int, hop: int, mesh: Mesh,
+                             window: str = "hann", rfft: bool = True,
+                             channel_axis: str = "channel",
+                             block_axis: str = "block"):
+    """Inverse STFT with w^2-normalized OLA over frame-sharded spectra.
+
+    spec: (channels, frames, bins) with the frame axis sharded as produced by
+    stft_process_sharded. Each shard OLA's its frames into a local buffer of
+    t_local + (nfft-hop) samples, sends the tail spill (data AND w^2 norm) to
+    its right neighbor via ppermute, and divides with the reference's 1e-12
+    guard (tools/dump_stft_roundtrip.c:50-54). Returns (channels, frames*hop).
+    """
+    if nfft % hop:
+        raise ValueError("sharded ISTFT requires nfft % hop == 0")
+    win = get_window(window, nfft)
+    overlap = nfft - hop
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(channel_axis, block_axis, None), P()),
+        out_specs=P(channel_axis, block_axis))
+    def run(sb, w):
+        if rfft:
+            time = jnp.fft.irfft(sb, nfft)
+        else:
+            time = jnp.fft.ifft(sb).real
+        w = w.astype(time.dtype)
+        nf_local = sb.shape[-2]
+        t_local = nf_local * hop
+        buf_len = t_local + overlap
+        recon = _framing.overlap_add(time * w, hop, buf_len)
+        wsq = jnp.broadcast_to(w * w, (nf_local, nfft))
+        norm = jnp.broadcast_to(
+            _framing.overlap_add(wsq, hop, buf_len), recon.shape)
+        # Stitch the seam: the tail spill of both accumulators (data and w^2
+        # norm, stacked so they ride one exchange) is added onto the right
+        # neighbors — across several blocks when nfft-hop > t_local. Zeros
+        # arrive at shard 0; the last shard's overflow is dropped (OLA bounds
+        # clipping, src/core/framing.c:137-146).
+        spill = jnp.stack([recon[..., t_local:], norm[..., t_local:]])
+        both = jnp.stack([recon[..., :t_local], norm[..., :t_local]])
+        both = _halo.spill_add_right(both, spill, block_axis)
+        recon, norm = both[0], both[1]
+        good = norm > 1e-12
+        return jnp.where(good, recon / jnp.where(good, norm, 1.0), recon)
+
+    return run(spec, win)
+
+
+# ---------------------------------------------------------------------------
+# Polyphase resampling — two-sided halo
+# ---------------------------------------------------------------------------
+
+def resample_poly_sharded(x, up: int, down: int, mesh: Mesh,
+                          channel_axis: str = "channel",
+                          block_axis: str = "block"):
+    """scipy-parity polyphase resample over a sharded time axis.
+
+    x: (channels, n) with n % (n_block_shards * down) == 0, so every shard
+    emits exactly t_local*up/down samples. The centered anti-alias filter
+    needs ceil(half_len/up) samples of right halo and taps_pp-1 of left halo
+    per shard; anchor arithmetic is shard-independent because t_local*up is a
+    multiple of up (see ops.resample._upfirdn_gather for the dense polyphase
+    core this mirrors).
+    """
+    g = math.gcd(up, down)
+    up //= g
+    down //= g
+    if up == 1 and down == 1:
+        return x
+    nb = mesh.shape[block_axis]
+    n = x.shape[-1]
+    if n % (nb * down):
+        raise ValueError("signal length must divide n_block_shards * down")
+    h = _resample._resample_poly_filter(up, down)
+    half_len = (len(h) - 1) // 2
+    h_pad = np.zeros((-(-len(h) // up)) * up)
+    h_pad[:len(h)] = h
+    taps_pp = len(h_pad) // up
+    hpp = h_pad.reshape(taps_pp, up).T  # hpp[p, i] = h[p + i*up]
+    halo_l = taps_pp - 1
+    halo_r = -(-half_len // up) + 1
+    t_local = n // nb
+    out_local = t_local * up // down
+
+    # Local gather geometry (identical on every shard): output j reads input
+    # ext[anchor_j + halo_l - i] for tap i, anchor_j = (half_len + j*down)//up.
+    j = np.arange(out_local)
+    t = half_len + j * down
+    anchor = t // up
+    phase = t % up
+    idx = anchor[:, None] - np.arange(taps_pp)[None, :] + halo_l
+    w_np = hpp[phase]  # (out_local, taps_pp)
+
+    idx_j = jnp.asarray(idx, dtype=jnp.int32)
+    w_j = jnp.asarray(w_np, dtype=x.dtype)
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(channel_axis, block_axis), P(), P()),
+        out_specs=P(channel_axis, block_axis))
+    def run(xb, idx_, w_):
+        left = _halo.halo_from_left(xb, halo_l, block_axis)
+        right = _halo.halo_from_right(xb, halo_r, block_axis)
+        ext = jnp.concatenate([left, xb, right], axis=-1)
+        gathered = jnp.take(ext, idx_, axis=-1)  # (ch, out_local, taps_pp)
+        return jnp.einsum("...ot,ot->...o", gathered, w_,
+                          precision=config.MATMUL_PRECISION)
+
+    return run(x, idx_j, w_j)
