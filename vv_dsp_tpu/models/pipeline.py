@@ -1,0 +1,138 @@
+"""Flagship DSP pipelines (jittable, shardable).
+
+Design: each pipeline is a frozen dataclass holding only static config and
+host-precomputed float64->f32 constants; ``__call__(x)`` is a pure function of
+the signal, so ``jax.jit(pipeline)``, ``vmap`` and ``shard_map`` all apply
+directly. The sharded execution path (``apply_sharded``) runs the FIR and
+resample stages as halo-exchange sharded ops and the frame-parallel stages
+with the frame axis sharded over the block mesh axis.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from vv_dsp_tpu.ops import fir as _fir
+from vv_dsp_tpu.ops import mel as _mel
+from vv_dsp_tpu.ops import resample as _resample
+from vv_dsp_tpu.ops.stft import STFT
+from vv_dsp_tpu import parallel as _par
+
+
+@dataclasses.dataclass(frozen=True)
+class NorthStarChain:
+    """1024-tap FIR -> up/down polyphase resample -> STFT -> log-mel -> MFCC.
+
+    The BASELINE.json north-star configuration: the per-chip roofline chain
+    whose Msamples/s (at the input rate) is the headline benchmark.
+    """
+
+    fir_taps: int = 1024
+    fir_cutoff: float = 0.45
+    up: int = 4
+    down: int = 3
+    nfft: int = 2048
+    hop: int = 512
+    n_mels: int = 80
+    n_mfcc: int = 20
+    sample_rate: float = 48000.0
+    window: str = "hann"
+
+    @functools.cached_property
+    def fir_coeffs(self) -> jnp.ndarray:
+        return _fir.design_lowpass(self.fir_taps, self.fir_cutoff)
+
+    @functools.cached_property
+    def stft_plan(self) -> STFT:
+        return STFT(self.nfft, self.hop, self.window)
+
+    def __call__(self, x):
+        """x: (channels, n) -> (channels, frames, n_mfcc)."""
+        y = _fir.fir_apply_os(self.fir_coeffs, x)
+        y = _resample.resample_poly(y, self.up, self.down)
+        spec = self.stft_plan.process(y, rfft=True)
+        power = jnp.square(jnp.abs(spec))
+        return _mel.mfcc(power, self.nfft, self.n_mels, self.n_mfcc,
+                         self.sample_rate * self.up / self.down)
+
+    def apply_sharded(self, x, mesh):
+        """Multi-chip execution: FIR and resample run as halo-exchange
+        sharded ops over the (channel, block) mesh; the STFT runs
+        frame-sharded; the mel/MFCC matmuls partition over the sharded frame
+        axis automatically (they contract only the bin axis)."""
+        y = _par.fir_apply_sharded(self.fir_coeffs, x, mesh)
+        y = _par.resample_poly_sharded(y, self.up, self.down, mesh)
+        spec = _par.stft_process_sharded(y, self.nfft, self.hop, mesh,
+                                         self.window)
+        power = jnp.square(jnp.abs(spec))
+        return _mel.mfcc(power, self.nfft, self.n_mels, self.n_mfcc,
+                         self.sample_rate * self.up / self.down)
+
+
+@dataclasses.dataclass(frozen=True)
+class SpectralGate:
+    """The reference's end-to-end benchmark pipeline: frame -> window -> FFT
+    -> spectral magnitude gate -> IFFT -> OLA (bench/bench_pipeline.c:77-120).
+
+    Gate: zero every bin whose magnitude is below `threshold` x the frame's
+    peak magnitude."""
+
+    nfft: int = 1024
+    hop: int = 256
+    threshold: float = 0.1
+    window: str = "hann"
+
+    @functools.cached_property
+    def stft_plan(self) -> STFT:
+        return STFT(self.nfft, self.hop, self.window)
+
+    def _gate(self, spec):
+        mag = jnp.abs(spec)
+        peak = jnp.max(mag, axis=-1, keepdims=True)
+        return jnp.where(mag >= self.threshold * peak, spec,
+                         jnp.zeros_like(spec))
+
+    def __call__(self, x):
+        """x: (channels, n) -> (channels, n) denoised."""
+        n = x.shape[-1]
+        spec = self.stft_plan.process(x, rfft=True)
+        return self.stft_plan.reconstruct(self._gate(spec), n, rfft=True)
+
+    def apply_sharded(self, x, mesh):
+        spec = _par.stft_process_sharded(x, self.nfft, self.hop, mesh,
+                                         self.window)
+        gated = self._gate(spec)
+        return _par.stft_reconstruct_sharded(gated, self.nfft, self.hop, mesh,
+                                             self.window)
+
+
+@dataclasses.dataclass(frozen=True)
+class MFCCFrontend:
+    """Signal -> MFCC features, the tools/dump_mfcc.c chain as one model:
+    STFT power spectrogram -> mel filterbank -> log -> DCT-II -> lifter."""
+
+    nfft: int = 1024
+    hop: int = 256
+    n_mels: int = 26
+    n_mfcc: int = 13
+    sample_rate: float = 16000.0
+    lifter: float = 0.0
+    window: str = "hann"
+    fmin: float = 0.0
+    fmax: float | None = None
+
+    @functools.cached_property
+    def stft_plan(self) -> STFT:
+        return STFT(self.nfft, self.hop, self.window)
+
+    def __call__(self, x):
+        """x: (channels, n) -> (channels, frames, n_mfcc)."""
+        spec = self.stft_plan.process(x, rfft=True)
+        power = jnp.square(jnp.abs(spec))
+        return _mel.mfcc(power, self.nfft, self.n_mels, self.n_mfcc,
+                         self.sample_rate, fmin=self.fmin, fmax=self.fmax,
+                         lifter=self.lifter)
