@@ -52,8 +52,9 @@ class NorthStarChain:
 
     def __call__(self, x):
         """x: (channels, n) -> (channels, frames, n_mfcc)."""
-        y = _fir.fir_apply_os(self.fir_coeffs, x)
-        y = _resample.resample_poly(y, self.up, self.down)
+        from vv_dsp_tpu.ops import pallas_kernels as _pk
+        y = _pk.fir_apply_best(self.fir_coeffs, x)
+        y = _pk.resample_poly_best(y, self.up, self.down)
         spec = self.stft_plan.process(y, rfft=True)
         power = jnp.square(jnp.abs(spec))
         return _mel.mfcc(power, self.nfft, self.n_mels, self.n_mfcc,

@@ -1,0 +1,315 @@
+"""Pallas TPU kernels for the hot loops.
+
+The reference flags its per-sample gather loops as the critical paths
+(windowed-sinc resample 0.5-2.1 Msps, FIR direct conv; docs/
+simd_optimization_analysis.md:64-73) and projects 8-16x from SIMD. On TPU the
+XLA paths in ops.fir / ops.resample are already MXU matmuls; these kernels
+attack the remaining HBM-bandwidth waste:
+
+- fir_apply_pallas: causal FIR as a shift-and-accumulate over a VMEM tile
+  with the taps-1 halo DMA'd once per tile — reads n + taps-1 samples and
+  writes n, vs the im2col/FFT paths' multiple passes. VPU-bound at `taps`
+  FMAs per sample.
+- resample_poly_pallas: true polyphase — per output tile, DMA the input
+  span once, then per-phase strided correlations (static unroll over
+  up x taps_pp weights). Avoids materializing the (n_out, taps_pp) gather
+  matrix in HBM that the dense einsum path uses (~taps_pp x HBM-traffic
+  reduction).
+
+Both kernels auto-interpret off-TPU so the CPU test mesh exercises the same
+code path, and both are numerically identical to their ops.* counterparts
+(asserted in tests/test_pallas.py).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from vv_dsp_tpu.ops import resample as _resample
+
+
+def _on_tpu() -> bool:
+    return jax.default_backend() == "tpu"
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+# ---------------------------------------------------------------------------
+# FIR
+# ---------------------------------------------------------------------------
+
+def _fir_kernel(x_hbm, h_ref, y_ref, x_vmem, sem, *, taps, block_t, c_tile,
+                win):
+    """One (channel-tile, time-tile) grid step: DMA [t*B - (taps-1), (t+1)*B)
+    of the padded input into VMEM, accumulate taps shifted products."""
+    i = pl.program_id(0)
+    t = pl.program_id(1)
+    # x_hbm is the FULL padded array in HBM (TPU lowering requires trivial
+    # blocking for ANY-space operands); both channel tile and time window are
+    # selected by the DMA. Left pad of taps-1 zeros means the ext window for
+    # output block t starts at element t*B.
+    dma = pltpu.make_async_copy(
+        x_hbm.at[pl.ds(i * c_tile, c_tile), pl.ds(t * block_t, win)],
+        x_vmem, sem)
+    dma.start()
+    dma.wait()
+    ext = x_vmem[:]
+    acc = jnp.zeros((c_tile, block_t), dtype=ext.dtype)
+    for k in range(taps):
+        # h[k] multiplies x[i-k]; ext index (taps-1-k) + i.
+        acc = acc + h_ref[0, k] * ext[:, taps - 1 - k : taps - 1 - k + block_t]
+    y_ref[:, :] = acc
+
+
+def fir_apply_pallas(h, x, block_t: int = 2048, interpret: bool | None = None):
+    """Causal FIR (lfilter(h, [1], x) semantics) as a Pallas kernel.
+
+    x: (channels, n) float32. Equivalent to ops.fir.fir_apply; fastest for
+    small/medium taps where the VPU shift-accumulate beats im2col.
+    """
+    if interpret is None:
+        interpret = not _on_tpu()
+    h = jnp.asarray(h, dtype=x.dtype)
+    taps = h.shape[-1]
+    c, n = x.shape
+    c_tile = 8
+    # Mosaic keeps every unrolled shifted slice live on the VMEM stack
+    # (~taps * c_tile * block_t * 4B), so cap the tile to fit the ~16 MB
+    # VMEM budget; past ~256 taps use ops.fir.fir_apply_os instead (the FFT
+    # path wins there anyway).
+    vmem_cap = 8 * 1024 * 1024
+    block_cap = vmem_cap // (max(taps, 1) * c_tile * 4) // 128 * 128
+    if block_cap < 128:
+        raise ValueError(
+            f"taps={taps} too large for the Pallas direct kernel; use "
+            "fir_apply_os (FFT overlap-save) which is faster at this size")
+    block_t = max(128, min(block_t, block_cap, _round_up(n, 128)))
+    cp = _round_up(c, c_tile)
+    np_ = _round_up(n, block_t)
+    # Mosaic DMA windows must be lane-aligned (multiples of 128): the VMEM
+    # landing buffer is block_t + taps - 1 rounded up, and the padded input
+    # must cover the last tile's (aligned) window.
+    win = _round_up(block_t + taps - 1, 128)
+    right_pad = (np_ - block_t + win) - (n + taps - 1)
+    xp = jnp.pad(x, ((0, cp - c), (taps - 1, right_pad)))
+    grid = (cp // c_tile, np_ // block_t)
+
+    kernel = functools.partial(_fir_kernel, taps=taps, block_t=block_t,
+                               c_tile=c_tile, win=win)
+    y = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, taps), lambda i, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((c_tile, block_t), lambda i, t: (i, t),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((cp, np_), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((c_tile, win), x.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(xp, h[None, :])
+    return y[:c, :n]
+
+
+# ---------------------------------------------------------------------------
+# polyphase resample
+# ---------------------------------------------------------------------------
+
+def _poly_kernel(x_hbm, w_ref, y_hbm, x_vmem, y_vmem, in_sems, out_sems, *,
+                 up, down, cp, q_tile, c_tile, q_win, tap_plan):
+    """One (channel-tile, output-tile) step over PHASE-DEINTERLEAVED input.
+
+    Layouts are flattened phase-major 2D — Mosaic's slice/tiling rules reject
+    3D refs whose middle (phase) dim isn't sublane-aligned:
+      x_hbm: (down*cp, nrow), row r*cp + c  holds x[c, m*down + r],
+      y_hbm: (up*cp,  n_q),  row p*cp + c  gets  y[c, q*up + p].
+    Per tile: `down` input DMAs land phase-stacked in x_vmem rows
+    [r*c_tile, (r+1)*c_tile); each of the `up` output phases accumulates its
+    contiguous tap slices and DMAs out. tap_plan[p] = (w_row,
+    [(i, r, off), ...]) with off precomputed so every read is
+    ext[r-rows, off : off + q_tile].
+    """
+    ci = pl.program_id(0)
+    t = pl.program_id(1)
+    for r in range(down):
+        pltpu.make_async_copy(
+            x_hbm.at[pl.ds(r * cp + ci * c_tile, c_tile),
+                     pl.ds(t * q_tile, q_win)],
+            x_vmem.at[pl.ds(r * c_tile, c_tile), :],
+            in_sems.at[r]).start()
+    for r in range(down):
+        pltpu.make_async_copy(
+            x_hbm.at[pl.ds(r * cp + ci * c_tile, c_tile),
+                     pl.ds(t * q_tile, q_win)],
+            x_vmem.at[pl.ds(r * c_tile, c_tile), :],
+            in_sems.at[r]).wait()
+    ext = x_vmem[:]
+    for p, (w_row, taps) in enumerate(tap_plan):
+        slot = p % 2
+        if p >= 2:
+            # slot reused: previous out-DMA from it must have landed
+            pltpu.make_async_copy(
+                y_vmem.at[slot],
+                y_hbm.at[pl.ds((p - 2) * cp + ci * c_tile, c_tile),
+                         pl.ds(t * q_tile, q_tile)],
+                out_sems.at[slot]).wait()
+        acc = jnp.zeros((c_tile, q_tile), dtype=ext.dtype)
+        for i, r, off in taps:
+            acc = acc + w_ref[w_row, i] * \
+                ext[r * c_tile : (r + 1) * c_tile, off : off + q_tile]
+        y_vmem[slot] = acc
+        pltpu.make_async_copy(
+            y_vmem.at[slot],
+            y_hbm.at[pl.ds(p * cp + ci * c_tile, c_tile),
+                     pl.ds(t * q_tile, q_tile)],
+            out_sems.at[slot]).start()
+    for p in range(max(0, up - 2), up):
+        slot = p % 2
+        pltpu.make_async_copy(
+            y_vmem.at[slot],
+            y_hbm.at[pl.ds(p * cp + ci * c_tile, c_tile),
+                     pl.ds(t * q_tile, q_tile)],
+            out_sems.at[slot]).wait()
+
+
+def resample_poly_pallas(x, up: int, down: int, q_tile: int = 512,
+                         interpret: bool | None = None):
+    """scipy.signal.resample_poly parity as a Pallas kernel.
+
+    x: (channels, n). Identical output to ops.resample.resample_poly (which
+    itself matches scipy). Falls back to the XLA dense path when the static
+    unroll (up * taps_pp slices) would blow compile time / VMEM — large `up`
+    ratios belong on the MXU einsum anyway.
+    """
+    if interpret is None:
+        interpret = not _on_tpu()
+    g = math.gcd(up, down)
+    up //= g
+    down //= g
+    if up == 1 and down == 1:
+        return x
+    c, n = x.shape
+    n_out = -(-n * up // down)
+
+    h = _resample._resample_poly_filter(up, down)
+    half_len = (len(h) - 1) // 2
+    h_pad = np.zeros((-(-len(h) // up)) * up)
+    h_pad[: len(h)] = h
+    taps_pp = len(h_pad) // up
+    if up * taps_pp > 512:
+        return _resample.resample_poly(x, up, down)
+    hpp = jnp.asarray(h_pad.reshape(taps_pp, up).T, dtype=x.dtype)
+
+    c_tile = 8
+    q_tile = _round_up(q_tile, 128)  # keeps DMA starts/extents lane-aligned
+    # Cap the tile so the unrolled slices fit the VMEM stack (see FIR note).
+    cap = 8 * 1024 * 1024 // (up * taps_pp * c_tile * 4) // 128 * 128
+    if cap < 128:
+        return _resample.resample_poly(x, up, down)
+    q_tile = min(q_tile, cap)
+
+    # Static tap plan: output (q, p) of tile t reads
+    #   x[(t*q_tile + q)*down + c_p - i],  c_p = (half_len + p*down)//up,
+    # and x[m*down + r] lives at deinterleaved row r, column m. Decompose
+    # c_p - i = m_off*down + r with 0 <= r < down: column = q + m_off.
+    offs = []
+    tap_plan = []
+    for p in range(up):
+        tpos = half_len + p * down
+        c_p = tpos // up
+        taps = []
+        for i in range(taps_pp):
+            d = c_p - i
+            m_off = d // down  # floor
+            r = d - m_off * down
+            taps.append((i, r, m_off))
+            offs.append(m_off)
+        tap_plan.append((tpos % up, taps))
+    lo, hi = min(offs), max(offs)
+    lpad = max(0, -lo)
+    # Shift all column offsets by lpad (the left zero-padding of each row).
+    tap_plan = [(w_row, [(i, r, off + lpad) for i, r, off in taps])
+                for w_row, taps in tap_plan]
+
+    n_out_pad = _round_up(max(n_out, q_tile * up), q_tile * up)
+    n_tiles = n_out_pad // (q_tile * up)
+    q_win = _round_up(q_tile + hi + lpad, 128)
+
+    # Deinterleave by input phase, flattened phase-major (down*cp, nrow):
+    # row r*cp + c = x[c, r::down], left-padded by lpad zeros, right-padded
+    # so every tile's [t*q_tile, t*q_tile + q_win) window is in range.
+    nrow_data = -(-n // down)
+    nrow = max((n_tiles - 1) * q_tile + q_win - lpad, nrow_data)
+    cp = _round_up(c, c_tile)
+    xp = jnp.pad(x, ((0, cp - c), (0, nrow * down - n)))
+    xd = xp.reshape(cp, nrow, down).transpose(2, 0, 1).reshape(
+        down * cp, nrow)
+    xd = jnp.pad(xd, ((0, 0), (lpad, 0)))
+
+    kernel = functools.partial(_poly_kernel, up=up, down=down, cp=cp,
+                               q_tile=q_tile, c_tile=c_tile, q_win=q_win,
+                               tap_plan=tuple(tap_plan))
+    y = pl.pallas_call(
+        kernel,
+        grid=(cp // c_tile, n_tiles),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((up, taps_pp), lambda i, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((up * cp, n_out_pad // up), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((down * c_tile, q_win), x.dtype),
+            pltpu.VMEM((2, c_tile, q_tile), x.dtype),
+            pltpu.SemaphoreType.DMA((down,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(xd, hpp)
+    # phase-major (up, cp, Q) -> interleaved (cp, Q*up)
+    y = y.reshape(up, cp, n_out_pad // up).transpose(1, 2, 0).reshape(
+        cp, n_out_pad)
+    return y[:c, :n_out]
+
+
+# ---------------------------------------------------------------------------
+# best-path dispatch
+# ---------------------------------------------------------------------------
+
+def fir_apply_best(h, x):
+    """Fastest FIR path for the current backend (measured on TPU v5e,
+    16ch x 480k f32): Pallas direct <=128 taps (~1.7x XLA conv), FFT
+    overlap-save beyond (~4x XLA conv at 256 taps, more at 1024)."""
+    from vv_dsp_tpu.ops import fir as _fir
+    taps = jnp.shape(h)[-1]
+    if _on_tpu() and x.ndim == 2 and taps <= 128:
+        return fir_apply_pallas(h, x)
+    if taps <= 32:
+        return _fir.fir_apply(h, x)
+    return _fir.fir_apply_os(h, x)
+
+
+def resample_poly_best(x, up: int, down: int):
+    """Fastest polyphase path: the Pallas kernel is 4-7x the XLA dense
+    einsum on TPU (it never materializes the (n_out, taps_pp) gather in
+    HBM); falls back to XLA off-TPU, for >2D batches, or for very large
+    up ratios."""
+    if _on_tpu() and x.ndim == 2:
+        return resample_poly_pallas(x, up, down)
+    return _resample.resample_poly(x, up, down)
