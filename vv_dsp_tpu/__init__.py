@@ -64,4 +64,20 @@ from vv_dsp_tpu.ops.fft import (
 from vv_dsp_tpu.ops.stft import STFT, stft_spectrogram
 from vv_dsp_tpu.ops.framing import num_frames, fetch_frames, overlap_add
 
+# Heavier subsystems import lazily to keep `import vv_dsp_tpu` light:
+#   vv_dsp_tpu.parallel   — mesh / halo exchange / sharded ops
+#   vv_dsp_tpu.models     — end-to-end pipelines
+#   vv_dsp_tpu.streaming  — block streaming with carried state
+#   vv_dsp_tpu.io         — WAV codec (native C++ backend)
+#   vv_dsp_tpu.ops.pallas_kernels — Pallas TPU kernels
+#   vv_dsp_tpu.utils.{profiling,checkpoint}
+
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    if name in ("parallel", "models", "streaming", "io"):
+        import importlib
+
+        return importlib.import_module(f"vv_dsp_tpu.{name}")
+    raise AttributeError(f"module 'vv_dsp_tpu' has no attribute {name!r}")

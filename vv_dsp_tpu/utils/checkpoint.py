@@ -1,0 +1,69 @@
+"""Checkpoint/resume for streaming pipelines.
+
+The reference has no checkpointing (SURVEY.md section 5.4); its streaming
+filter state structs (vv_dsp_fir_state src/filter/fir.h:28-33, biquad z1/z2
+src/filter/iir.h:14-17) are exactly the state a long-running pipeline must
+persist. Here every streaming state is a jax pytree, so checkpointing is
+generic:
+
+- save/load to a single .npz (host-side, atomic rename) for simple cases,
+- orbax-checkpoint integration when available (async, multi-host aware) for
+  production pipelines.
+
+State trees are whatever the vv_dsp_tpu.streaming *_init functions return,
+plus any user bookkeeping (sample counters, block indices).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import jax
+
+
+def _flatten_with_paths(tree):
+    flat, treedef = jax.tree_util.tree_flatten(tree)
+    return flat, treedef
+
+
+def save(path: str, state_tree) -> None:
+    """Persist a pytree of arrays to `path` (.npz, atomic)."""
+    flat, treedef = _flatten_with_paths(state_tree)
+    arrays = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(flat)}
+    arrays["__treedef__"] = np.frombuffer(
+        repr(treedef).encode(), dtype=np.uint8)
+    tmp = path + ".tmp"
+    np.savez(tmp, **arrays)
+    # numpy appends .npz to the temp name
+    os.replace(tmp + ".npz" if os.path.exists(tmp + ".npz") else tmp, path)
+
+
+def load(path: str, like_tree):
+    """Restore a pytree saved by :func:`save`; `like_tree` supplies the
+    structure (e.g. a freshly *_init'ed state)."""
+    flat_like, treedef = _flatten_with_paths(like_tree)
+    with np.load(path) as data:
+        flat = [data[f"leaf_{i}"] for i in range(len(flat_like))]
+    import jax.numpy as jnp
+    flat = [jnp.asarray(a) for a in flat]
+    return jax.tree_util.tree_unflatten(treedef, flat)
+
+
+def save_orbax(path: str, state_tree) -> bool:
+    """Async-capable orbax save; returns False if orbax is unavailable."""
+    try:
+        import orbax.checkpoint as ocp
+    except ImportError:
+        return False
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(path), state_tree, force=True)
+    ckptr.wait_until_finished()
+    return True
+
+
+def load_orbax(path: str, like_tree):
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(os.path.abspath(path), like_tree)
