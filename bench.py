@@ -3,8 +3,16 @@
 Directly comparable to the reference's stft_profile row
 (docs/profiles/stft_profile.json:30-32: 6.38 Msamples/s on a Ryzen 7950X,
 scalar build) — same transform semantics (windowed frames -> full C2C
-complex spectrum). Prints ONE JSON line
-{"metric", "value", "unit", "vs_baseline"}.
+complex spectrum of all nfft bins).
+
+Timing methodology: all iterations run inside ONE jitted lax.fori_loop with
+iteration k+1 data-dependent on iteration k, and a single scalar is pulled at
+the end. This is required for correctness here: plain block_until_ready() is
+not a reliable sync point through remote-PJRT transports (it measured an
+impossible 2000+ TFLOPS), while the dependency chain provably serializes the
+device work.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
@@ -13,8 +21,23 @@ import time
 import numpy as np
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 BASELINE_MSPS = 6.38  # reference STFT 1024-pt throughput (BASELINE.md)
+
+
+def chain_time(step, x, iters: int = 20) -> float:
+    """Seconds per iteration; step(v, acc) -> scalar, chained through acc."""
+
+    @jax.jit
+    def run(v):
+        return lax.fori_loop(0, iters, lambda i, acc: step(v, acc),
+                             jnp.float32(0.0))
+
+    float(run(x))  # compile + warmup
+    t0 = time.perf_counter()
+    float(run(x))
+    return (time.perf_counter() - t0) / iters
 
 
 def main():
@@ -27,16 +50,13 @@ def main():
     x = jnp.asarray(rng.standard_normal((channels, n)), dtype=jnp.float32)
 
     plan = STFT(nfft, hop)
-    fn = jax.jit(lambda v: plan.process(v, rfft=False))
-    fn(x).block_until_ready()  # compile
 
-    iters = 20
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        fn(x).block_until_ready()
-    dt = time.perf_counter() - t0
+    def step(v, acc):
+        spec = plan.process(v + acc * 1e-30, rfft=False)
+        return jnp.real(spec[0, 0, 0])
 
-    msps = channels * n * iters / dt / 1e6
+    dt = chain_time(step, x)
+    msps = channels * n / dt / 1e6
     print(json.dumps({
         "metric": "stft_1024_256_throughput",
         "value": round(msps, 2),

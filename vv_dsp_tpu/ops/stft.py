@@ -66,10 +66,14 @@ class STFT:
         """
         n = x.shape[-1]
         nf = self.num_frames(n)
-        idx, mask = framing.frame_indices(n, self.nfft, self.hop, center=False,
-                                          n_frames=nf)
-        frames = jnp.take(x, idx, axis=-1)
-        frames = jnp.where(mask, frames, jnp.zeros_like(frames))
+        if self.nfft % self.hop == 0:
+            # strided-reshape framing: ~11x cheaper than the gather on TPU
+            frames = framing.frames_strided(x, self.nfft, self.hop, nf)
+        else:
+            idx, mask = framing.frame_indices(n, self.nfft, self.hop,
+                                              center=False, n_frames=nf)
+            frames = jnp.take(x, idx, axis=-1)
+            frames = jnp.where(mask, frames, jnp.zeros_like(frames))
         frames = frames * self.win.astype(frames.dtype)
         if rfft:
             return _fft.rfft(frames)
@@ -87,10 +91,12 @@ class STFT:
         else:
             time = _fft.ifft(spec).real
         w = self.win.astype(time.dtype)
-        recon = framing.overlap_add(time * w, self.hop, output_len)
+        ola = (framing.overlap_add_strided if self.nfft % self.hop == 0
+               else framing.overlap_add)
+        recon = ola(time * w, self.hop, output_len)
         nf = spec.shape[-2]
         wsq = jnp.broadcast_to(w * w, (nf, self.nfft))
-        norm = framing.overlap_add(wsq, self.hop, output_len)
+        norm = ola(wsq, self.hop, output_len)
         return jnp.where(norm > 1e-12, recon / jnp.where(norm > 1e-12, norm, 1.0),
                          recon)
 

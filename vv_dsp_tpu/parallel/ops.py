@@ -180,9 +180,7 @@ def stft_process_sharded(x, nfft: int, hop: int, mesh: Mesh,
         ext = jnp.concatenate([xb, right], axis=-1)
         t_local = xb.shape[-1]
         nf_local = t_local // hop
-        idx = (jnp.arange(nf_local, dtype=jnp.int32)[:, None] * hop
-               + jnp.arange(nfft, dtype=jnp.int32)[None, :])
-        frames = jnp.take(ext, idx, axis=-1) * w
+        frames = _framing.frames_strided(ext, nfft, hop, nf_local) * w
         if rfft:
             return jnp.fft.rfft(frames)
         return jnp.fft.fft(frames)
@@ -220,10 +218,10 @@ def stft_reconstruct_sharded(spec, nfft: int, hop: int, mesh: Mesh,
         nf_local = sb.shape[-2]
         t_local = nf_local * hop
         buf_len = t_local + overlap
-        recon = _framing.overlap_add(time * w, hop, buf_len)
+        recon = _framing.overlap_add_strided(time * w, hop, buf_len)
         wsq = jnp.broadcast_to(w * w, (nf_local, nfft))
         norm = jnp.broadcast_to(
-            _framing.overlap_add(wsq, hop, buf_len), recon.shape)
+            _framing.overlap_add_strided(wsq, hop, buf_len), recon.shape)
         # Stitch the seam: the tail spill of both accumulators (data and w^2
         # norm, stacked so they ride one exchange) is added onto the right
         # neighbors — across several blocks when nfft-hop > t_local. Zeros

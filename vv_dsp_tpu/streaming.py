@@ -110,9 +110,13 @@ class StftStream:
         ext = jnp.concatenate([state, block], axis=-1)
         k = b // self.hop
         win = get_window(self.window, self.nfft, dtype=block.dtype)
-        idx = (jnp.arange(k, dtype=jnp.int32)[:, None] * self.hop
-               + jnp.arange(self.nfft, dtype=jnp.int32)[None, :])
-        frames = jnp.take(ext, idx, axis=-1) * win
+        if self.nfft % self.hop == 0:
+            from vv_dsp_tpu.ops.framing import frames_strided
+            frames = frames_strided(ext, self.nfft, self.hop, k) * win
+        else:
+            idx = (jnp.arange(k, dtype=jnp.int32)[:, None] * self.hop
+                   + jnp.arange(self.nfft, dtype=jnp.int32)[None, :])
+            frames = jnp.take(ext, idx, axis=-1) * win
         spec = jnp.fft.rfft(frames) if rfft else jnp.fft.fft(frames)
         return spec, ext[..., -(self.nfft - self.hop):]
 
