@@ -1,0 +1,49 @@
+"""Matmul-DFT backend parity vs numpy (the backend-consistency test tier of
+the reference, tests/gtest/test_fft.cpp:322-360: every backend must agree
+with the reference backend within tolerance)."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from vv_dsp_tpu.ops import fft as F
+
+
+@pytest.fixture
+def matmul_backend():
+    F.set_fft_backend("matmul")
+    yield
+    F.set_fft_backend("auto")
+
+
+@pytest.mark.parametrize("n", [7, 16, 63, 64, 257, 1024])
+def test_matmul_backend_matches_numpy(matmul_backend, rng, n):
+    x = rng.standard_normal((3, n)).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(F.rfft(jnp.asarray(x))),
+        np.fft.rfft(x.astype(np.float64)), rtol=5e-5, atol=5e-5)
+    xh = np.fft.rfft(x.astype(np.float64)).astype(np.complex64)
+    np.testing.assert_allclose(
+        np.asarray(F.irfft(jnp.asarray(xh), n)), x, rtol=5e-5, atol=5e-5)
+    xc = (rng.standard_normal((2, n)) + 1j * rng.standard_normal((2, n))
+          ).astype(np.complex64)
+    np.testing.assert_allclose(
+        np.asarray(F.fft(jnp.asarray(xc))),
+        np.fft.fft(xc.astype(np.complex128)), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(F.ifft(jnp.asarray(xc))),
+        np.fft.ifft(xc.astype(np.complex128)), rtol=1e-4, atol=1e-4)
+
+
+def test_backend_switch_and_padding(matmul_backend, rng):
+    assert F.get_fft_backend() == "matmul"
+    x = rng.standard_normal(50).astype(np.float32)
+    # n-argument pad/trim semantics match numpy in both backends
+    want = np.fft.rfft(x, n=64)
+    np.testing.assert_allclose(np.asarray(F.rfft(jnp.asarray(x), n=64)),
+                               want, rtol=5e-5, atol=5e-5)
+    F.set_fft_backend("xla")
+    np.testing.assert_allclose(np.asarray(F.rfft(jnp.asarray(x), n=64)),
+                               want, rtol=5e-5, atol=5e-5)
+    with pytest.raises(ValueError):
+        F.set_fft_backend("fftw")

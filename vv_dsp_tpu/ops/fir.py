@@ -32,6 +32,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from vv_dsp_tpu import config
+from vv_dsp_tpu.ops import fft as _fftmod
 from vv_dsp_tpu.ops.fft import next_pow2
 from vv_dsp_tpu.ops.window import get_window_np
 
@@ -105,18 +106,28 @@ def fir_apply_os(h, x, block_size: int | None = None):
     taps = h.shape[-1]
     n = x.shape[-1]
     if block_size is None:
-        block_size = max(next_pow2(4 * taps), 1024)
+        # keep nfft at 4096 where possible so the TPU matmul-DFT backend
+        # applies (several times faster than the XLA FFT HLO; see ops.fft),
+        # with the maximal valid block for that transform size
+        nfft_target = max(4096, next_pow2(2 * taps))
+        block_size = nfft_target - taps + 1
     nfft = next_pow2(block_size + taps - 1)
     n_blocks = -(-n // block_size)
     right_pad = n_blocks * block_size - n
     xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(taps - 1, right_pad)])
-    # Gather overlapping segments: block b covers xp[b*block : b*block + block+taps-1].
-    starts = jnp.arange(n_blocks) * block_size
-    offs = jnp.arange(block_size + taps - 1)
-    idx = starts[:, None] + offs[None, :]
-    segs = jnp.take(xp, idx, axis=-1)  # (..., n_blocks, block+taps-1)
-    hf = jnp.fft.rfft(h, nfft)
-    y = jnp.fft.irfft(jnp.fft.rfft(segs, nfft) * hf, nfft)
+    # Overlapping segments. The segment matrix is (block + taps - 1) wide;
+    # build it from two aligned reshapes + slice (dense passes — a
+    # (n_blocks x seg) gather is ~10x slower on TPU, cf. framing.py).
+    seg_len = block_size + taps - 1
+    total = n_blocks * block_size
+    a = xp[..., :total].reshape(xp.shape[:-1] + (n_blocks, block_size))
+    b = xp[..., block_size:]
+    b = jnp.pad(b, [(0, 0)] * (x.ndim - 1)
+                + [(0, total + taps - 1 - b.shape[-1])])
+    b = b[..., :total].reshape(xp.shape[:-1] + (n_blocks, block_size))
+    segs = jnp.concatenate([a, b[..., : seg_len - block_size]], axis=-1)
+    hf = _fftmod.rfft(h, nfft)
+    y = _fftmod.irfft(_fftmod.rfft(segs, nfft) * hf, nfft)
     y = y[..., taps - 1 : taps - 1 + block_size]  # valid part of each block
     y = y.reshape(y.shape[:-2] + (n_blocks * block_size,))
     return y[..., :n]
