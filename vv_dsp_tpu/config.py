@@ -43,3 +43,34 @@ def complex_for_real(dtype) -> jnp.dtype:
     if d == jnp.float64:
         return jnp.dtype(jnp.complex128)
     return jnp.dtype(jnp.complex64)
+
+
+# ---------------------------------------------------------------------------
+# FP environment (reference: vv_dsp_set_flush_denormals, src/core/fp_env.c)
+# ---------------------------------------------------------------------------
+
+_flush_denormals = True
+
+
+def set_flush_denormals(enabled: bool) -> bool:
+    """Denormal-flushing control, the TPU answer to the reference's per-thread
+    FTZ/DAZ MXCSR/FPCR toggles (src/core/fp_env.c:9-109).
+
+    TPU vector/matrix units flush subnormals by design — there is no runtime
+    bit to set and no denormal slow path to avoid (the reference's
+    bench_denormals.c problem does not exist on this hardware). The setting
+    is recorded so code can query intent; returns the effective state
+    (always True on TPU).
+    """
+    global _flush_denormals
+    import jax
+
+    if jax.default_backend() == "tpu":
+        _flush_denormals = True  # hardware behavior, not switchable
+    else:
+        _flush_denormals = bool(enabled)
+    return _flush_denormals
+
+
+def get_flush_denormals() -> bool:
+    return _flush_denormals
