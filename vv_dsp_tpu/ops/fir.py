@@ -133,6 +133,73 @@ def fir_apply_os(h, x, block_size: int | None = None):
     return y[..., :n]
 
 
+def fir_apply_mxu(h, x, chunk: int = 128):
+    """Causal FIR as block-Toeplitz MXU matmuls — identical to fir_apply.
+
+    Derivation: split h into J chunks of C taps and time into blocks of C.
+    With windows W_k = x[kC-(C-1) : kC+C] (length 2C-1, zero left pad) and
+    Toeplitz matrices T_j[s, r] = h[jC + r + C-1 - s] (zero outside the
+    chunk),
+        y_block[m] = sum_j  W_{m-j} @ T_j
+    i.e. J matmuls of (blocks, 2C-1) @ (2C-1, C) with j-row-shifted windows.
+    C=128 matches the MXU tile; FLOPs ~= 2 * (2 - 1/C) * taps * n, within 2x
+    of the direct form but running at matmul speed — ~an order of magnitude
+    faster than both the XLA conv (im2col HBM traffic) and the rFFT
+    overlap-save path for taps ~= 1024 (measured on v5e).
+    """
+    import jax as _jax
+
+    traced = isinstance(h, _jax.core.Tracer)
+    if not traced:
+        h = np.asarray(h, dtype=np.float64)
+    taps = h.shape[-1]
+    C = chunk
+    J = -(-taps // C)
+    if traced:
+        hp_j = jnp.concatenate(
+            [h.astype(x.dtype), jnp.zeros((J * C - taps,), x.dtype)])
+    else:
+        hp = np.zeros(J * C)
+        hp[:taps] = h
+    batch = x.shape[:-1]
+    n = x.shape[-1]
+    nb = -(-n // C)
+
+    # windows via the two-aligned-reshape trick (no gather)
+    xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(C - 1, nb * C - n)])
+    total = nb * C
+    a = xp[..., : total].reshape(batch + (nb, C))
+    b = jnp.pad(xp[..., C:], [(0, 0)] * (x.ndim - 1)
+                + [(0, 2 * C - 1)])[..., :total].reshape(batch + (nb, C))
+    W = jnp.concatenate([a, b[..., : C - 1]], axis=-1)  # (..., nb, 2C-1)
+
+    # Toeplitz blocks (host-side f64 for concrete taps; on-device gather for
+    # traced taps, e.g. under shard_map/jit with learned coefficients)
+    s = np.arange(2 * C - 1)[:, None]
+    r = np.arange(C)[None, :]
+    idx = r + C - 1 - s  # tap index within chunk
+    valid = (idx >= 0) & (idx < C)
+    y = None
+    for j in range(J):
+        if traced:
+            tj = jnp.where(jnp.asarray(valid),
+                           hp_j[j * C + np.clip(idx, 0, C - 1)], 0.0)
+        else:
+            tj = jnp.asarray(
+                np.where(valid, hp[j * C + np.clip(idx, 0, C - 1)], 0.0
+                         ).astype(np.dtype(x.dtype)))
+        if j == 0:
+            wj = W
+        else:
+            wj = jnp.concatenate(
+                [jnp.zeros(batch + (j, 2 * C - 1), W.dtype),
+                 W[..., : nb - j, :]], axis=-2)
+        term = jnp.einsum("...ns,sc->...nc", wj, tj,
+                          precision=config.MATMUL_PRECISION)
+        y = term if y is None else y + term
+    return y.reshape(batch + (nb * C,))[..., :n]
+
+
 def filtfilt_fir(h, x):
     """Zero-phase FIR (vv_dsp_filtfilt_fir, src/filter/common.c:23-80):
     symmetric-pad by taps-1, forward conv, reverse, conv, reverse, center."""

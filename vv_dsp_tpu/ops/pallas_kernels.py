@@ -293,14 +293,17 @@ def resample_poly_pallas(x, up: int, down: int, q_tile: int = 512,
 # ---------------------------------------------------------------------------
 
 def fir_apply_best(h, x):
-    """Fastest FIR path for the current backend (measured on TPU v5e,
-    16ch x 480k f32): Pallas direct <=128 taps (~1.7x XLA conv), FFT
-    overlap-save beyond (~4x XLA conv at 256 taps, more at 1024)."""
+    """Fastest FIR path for the current backend (chained-timing on TPU v5e,
+    16ch x 480k f32): Pallas direct wins only for tiny taps (<=16: 1505
+    Msps); the block-Toeplitz MXU matmul form wins everywhere else
+    (~1100-1500 Msps vs 74-697 for conv/overlap-save)."""
     from vv_dsp_tpu.ops import fir as _fir
     taps = jnp.shape(h)[-1]
-    if _on_tpu() and x.ndim == 2 and taps <= 128:
-        return fir_apply_pallas(h, x)
-    if taps <= 32:
+    if _on_tpu():
+        if x.ndim == 2 and taps <= 16:
+            return fir_apply_pallas(h, x)
+        return _fir.fir_apply_mxu(h, x)
+    if taps <= 64:
         return _fir.fir_apply(h, x)
     return _fir.fir_apply_os(h, x)
 

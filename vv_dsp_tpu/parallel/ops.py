@@ -72,25 +72,29 @@ def fir_apply_sharded(h, x, mesh: Mesh, channel_axis: str = "channel",
     zero initial history) and runs a local conv — direct (implicit-GEMM on
     the MXU) for small taps, overlap-save rFFT otherwise.
     """
-    h = jnp.asarray(h)
-    taps = h.shape[-1]
-    if use_fft is None:
-        use_fft = taps > 128
+    h_np = np.asarray(h, dtype=np.float64)  # concrete: Toeplitz/FFT tables
+    taps = h_np.shape[-1]
+    hj = jnp.asarray(h_np.astype(np.dtype(x.dtype)))
 
     @functools.partial(
         jax.shard_map, mesh=mesh,
-        in_specs=(P(), P(channel_axis, block_axis)),
+        in_specs=P(channel_axis, block_axis),
         out_specs=P(channel_axis, block_axis))
-    def run(h, xb):
+    def run(xb):
         left = _halo.halo_from_left(xb, taps - 1, block_axis)
         ext = jnp.concatenate([left, xb], axis=-1)
         if use_fft:
-            y = _fir.fir_apply_os(h, ext)
+            y = _fir.fir_apply_os(hj, ext)
+        elif use_fft is None and taps > 32:
+            # block-Toeplitz MXU form: the fastest local kernel on TPU and
+            # pure XLA, so it composes with shard_map on any backend
+            # (coefficients close over the mapped body as constants)
+            y = _fir.fir_apply_mxu(h_np, ext)
         else:
-            y = _fir.fir_apply(h, ext)
+            y = _fir.fir_apply(hj, ext)
         return y[..., taps - 1:]
 
-    return run(h.astype(x.dtype), x)
+    return run(x)
 
 
 # ---------------------------------------------------------------------------
