@@ -72,9 +72,13 @@ def fir_apply_sharded(h, x, mesh: Mesh, channel_axis: str = "channel",
     zero initial history) and runs a local conv — direct (implicit-GEMM on
     the MXU) for small taps, overlap-save rFFT otherwise.
     """
-    h_np = np.asarray(h, dtype=np.float64)  # concrete: Toeplitz/FFT tables
+    if isinstance(h, jax.core.Tracer):
+        h_np = h  # fir_apply_mxu handles traced taps with on-device tables
+        hj = h.astype(x.dtype)
+    else:
+        h_np = np.asarray(h, dtype=np.float64)  # concrete Toeplitz/FFT tables
+        hj = jnp.asarray(h_np.astype(np.dtype(x.dtype)))
     taps = h_np.shape[-1]
-    hj = jnp.asarray(h_np.astype(np.dtype(x.dtype)))
 
     @functools.partial(
         jax.shard_map, mesh=mesh,
