@@ -55,8 +55,7 @@ class NorthStarChain:
         from vv_dsp_tpu.ops import pallas_kernels as _pk
         y = _pk.fir_apply_best(self.fir_coeffs, x)
         y = _pk.resample_poly_best(y, self.up, self.down)
-        spec = self.stft_plan.process(y, rfft=True)
-        power = jnp.square(jnp.abs(spec))
+        power = self.stft_plan.power(y)  # fused |rfft|^2, no complex HBM trip
         return _mel.mfcc(power, self.nfft, self.n_mels, self.n_mfcc,
                          self.sample_rate * self.up / self.down)
 
@@ -132,8 +131,7 @@ class MFCCFrontend:
 
     def __call__(self, x):
         """x: (channels, n) -> (channels, frames, n_mfcc)."""
-        spec = self.stft_plan.process(x, rfft=True)
-        power = jnp.square(jnp.abs(spec))
+        power = self.stft_plan.power(x)
         return _mel.mfcc(power, self.nfft, self.n_mels, self.n_mfcc,
                          self.sample_rate, fmin=self.fmin, fmax=self.fmax,
                          lifter=self.lifter)

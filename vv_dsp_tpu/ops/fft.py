@@ -173,6 +173,25 @@ def rfft(x, n: int | None = None, axis: int = -1):
     return jnp.fft.rfft(x, axis=axis)
 
 
+def rfft_power(x, n: int | None = None, axis: int = -1):
+    """|rfft(x)|^2 without materializing the complex spectrum.
+
+    On the matmul backend the power is re^2 + im^2 of the two real matmul
+    outputs — XLA fuses it, saving the complex64 HBM round trip (the
+    dominant cost of spectrogram->mel pipelines at large batch).
+    """
+    x, n = _pad_or_trim(x, n, axis)
+    if _use_matmul(n):
+        x = jnp.moveaxis(x, axis, -1)
+        basis = _dft_basis(n, "r2c")
+        dt = x.dtype if jnp.issubdtype(x.dtype, jnp.floating) else jnp.float32
+        re = _mm(x, basis.real, dt)
+        im = _mm(x, basis.imag, dt)
+        return jnp.moveaxis(re * re + im * im, -1, axis)
+    s = jnp.fft.rfft(x, axis=axis)
+    return jnp.square(jnp.abs(s))
+
+
 def irfft(x, n: int, axis: int = -1):
     """Complex-to-real inverse (Hermitian expand + inverse, 1/n scaled);
     n must be given like the reference's plan size (C2R,

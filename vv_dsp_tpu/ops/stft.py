@@ -79,6 +79,22 @@ class STFT:
             return _fft.rfft(frames)
         return _fft.fft(frames)
 
+    def power(self, x):
+        """One-sided power spectrogram |rfft(frames)|^2, fused so the complex
+        spectrum never hits HBM (ops.fft.rfft_power): (..., n) ->
+        (..., frames, nfft//2+1). The fast input to mel/MFCC."""
+        n = x.shape[-1]
+        nf = self.num_frames(n)
+        if self.nfft % self.hop == 0:
+            frames = framing.frames_strided(x, self.nfft, self.hop, nf)
+        else:
+            idx, mask = framing.frame_indices(n, self.nfft, self.hop,
+                                              center=False, n_frames=nf)
+            frames = jnp.take(x, idx, axis=-1)
+            frames = jnp.where(mask, frames, jnp.zeros_like(frames))
+        frames = frames * self.win.astype(frames.dtype)
+        return _fft.rfft_power(frames)
+
     def reconstruct(self, spec, output_len: int, rfft: bool = False):
         """Inverse STFT with w^2-normalized overlap-add.
 
@@ -113,5 +129,4 @@ def stft_spectrogram(x, nfft: int, hop: int, window: str = "hann"):
 def power_spectrogram_onesided(x, nfft: int, hop: int, window: str = "hann"):
     """|rfft|^2 over frames — the input shape expected by the MFCC pipeline
     (reference builds it from vv_dsp_stft_spectrogram bins, tools/dump_mfcc.c)."""
-    spec = STFT(nfft, hop, window).process(x, rfft=True)
-    return jnp.square(jnp.abs(spec))
+    return STFT(nfft, hop, window).power(x)
