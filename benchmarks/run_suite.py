@@ -1,0 +1,113 @@
+"""Benchmark suite — the TPU counterpart of the reference's bench/ programs
+(bench_stft.c size sweep, bench_resample_fixed.c quality/ratio sweep,
+bench_filter, bench_pipeline.c end-to-end chain), emitting the same record
+shape {name, elapsed_ms, samples_per_sec, rtf, iterations} as
+bench/bench_framework.h:31-48, one JSON object per line plus a profile file.
+
+Run: python benchmarks/run_suite.py [--out profiles.json] [--quick]
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=None, help="write records to this file")
+    ap.add_argument("--quick", action="store_true", help="fewer configs")
+    ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    args = ap.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from vv_dsp_tpu.ops import fir, pallas_kernels as pk
+    from vv_dsp_tpu.ops.stft import STFT
+    from vv_dsp_tpu.models import NorthStarChain, SpectralGate
+    from vv_dsp_tpu.utils.profiling import chain_benchmark, detect_chip
+
+    rng = np.random.default_rng(0)
+    channels, fs = 16, 48000.0
+    n = 479232  # 10 s @ 48 kHz rounded to a 3*512 multiple for the chain
+    x = jnp.asarray(rng.standard_normal((channels, n)), dtype=jnp.float32)
+    total = channels * n
+    results = []
+
+    def record(r):
+        results.append(r)
+        print(r.to_json(), flush=True)
+
+    # --- STFT size sweep (bench_stft.c) ---
+    sizes = [1024] if args.quick else [256, 512, 1024, 2048, 4096]
+    for nfft in sizes:
+        plan = STFT(nfft, nfft // 4)
+        record(chain_benchmark(
+            f"stft_{nfft}_c2c",
+            lambda v, acc, plan=plan: jnp.real(
+                plan.process(v + acc * 1e-30)[0, 0, 0]),
+            x, n_samples=total, sample_rate=fs))
+
+    # --- STFT roundtrip (dump_stft_roundtrip path) ---
+    plan = STFT(1024, 256)
+
+    def rt(v, acc):
+        spec = plan.process(v + acc * 1e-30, rfft=True)
+        return plan.reconstruct(spec, n, rfft=True)[0, 0]
+
+    record(chain_benchmark("stft_1024_roundtrip", rt, x, n_samples=total,
+                           sample_rate=fs))
+
+    # --- FIR tap sweep (bench_filter) ---
+    taps_list = [64] if args.quick else [16, 64, 256, 1024]
+    for taps in taps_list:
+        h = fir.design_lowpass(taps, 0.3)
+        record(chain_benchmark(
+            f"fir_{taps}_best",
+            lambda v, acc, h=h: pk.fir_apply_best(h, v + acc * 1e-30)[0, 0],
+            x, n_samples=total, sample_rate=fs))
+
+    # --- resampling (bench_resample_fixed.c ratios) ---
+    ratios = [(4, 3)] if args.quick else [(2, 1), (1, 2), (4, 3), (160, 147)]
+    for up, down in ratios:
+        n2 = n // down * down
+        xv = x[..., :n2]
+        record(chain_benchmark(
+            f"resample_poly_{up}_{down}",
+            lambda v, acc, up=up, down=down: pk.resample_poly_best(
+                v + acc * 1e-30, up, down)[0, 0],
+            xv, n_samples=channels * n2, sample_rate=fs))
+
+    # --- end-to-end pipelines (bench_pipeline.c analog + north star) ---
+    gate = SpectralGate()
+    record(chain_benchmark(
+        "pipeline_spectral_gate",
+        lambda v, acc: gate(v + acc * 1e-30)[0, 0], x, n_samples=total,
+        sample_rate=fs))
+    chain = NorthStarChain()
+    record(chain_benchmark(
+        "pipeline_north_star",
+        lambda v, acc: chain(v + acc * 1e-30)[0, 0, 0], x, n_samples=total,
+        sample_rate=fs))
+
+    profile = {
+        "device": str(jax.devices()[0]),
+        "chip": detect_chip(),
+        "channels": channels,
+        "signal_samples": n,
+        "results": [json.loads(r.to_json()) for r in results],
+    }
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(profile, f, indent=1)
+        print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()

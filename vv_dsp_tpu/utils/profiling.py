@@ -89,6 +89,43 @@ def benchmark(name: str, fn, *args, n_samples: int | None = None,
     )
 
 
+def chain_benchmark(name: str, step, x, n_samples: int | None = None,
+                    sample_rate: float = 48000.0,
+                    iters: int = 10) -> BenchResult:
+    """Remote-safe timing: all iterations inside ONE jitted lax.fori_loop
+    with iteration k+1 data-dependent on k, one scalar transfer at the end.
+
+    Required on remote-PJRT transports where block_until_ready() is not a
+    true sync point (it measured impossible >2000 TFLOPS); on local devices
+    it agrees with :func:`benchmark`.
+
+    step(x, acc_scalar) -> scalar must fold `acc` into its input (e.g.
+    ``x + acc * 1e-30``) so XLA cannot hoist the body out of the loop.
+    """
+    import jax.numpy as jnp
+    from jax import lax
+
+    if n_samples is None:
+        n_samples = int(x.size)
+
+    @jax.jit
+    def run(v):
+        return lax.fori_loop(0, iters, lambda i, acc: step(v, acc),
+                             jnp.float32(0.0))
+
+    float(run(x))  # compile + warmup
+    t0 = time.perf_counter()
+    float(run(x))
+    per_call = (time.perf_counter() - t0) / iters
+    return BenchResult(
+        name=name,
+        elapsed_ms=per_call * 1e3,
+        samples_per_sec=n_samples / per_call,
+        rtf=per_call / (n_samples / sample_rate),
+        iterations=iters,
+    )
+
+
 @contextlib.contextmanager
 def trace(log_dir: str = "/tmp/jax-trace"):
     """On-device profiler timeline (open with TensorBoard or Perfetto);
