@@ -55,12 +55,15 @@ def get_fft_backend() -> str:
     return _BACKEND
 
 
-def _use_matmul(n: int) -> bool:
+def _use_matmul(n: int, kind: str = "r2c") -> bool:
     if _BACKEND == "matmul":
         return n <= 8192  # hard cap: O(N^2) memory for the basis
     if _BACKEND == "xla":
         return False
-    return (jax.default_backend() == "tpu" and n <= _MATMUL_MAX_N)
+    # crossover vs the FFT HLO (measured, v5e): the full c2c basis has 2x the
+    # columns of r2c/c2r, so its O(N^2) term catches the HLO one octave lower
+    cap = _MATMUL_MAX_N if kind in ("r2c", "c2r") else _MATMUL_MAX_N // 2
+    return (jax.default_backend() == "tpu" and n <= cap)
 
 
 @functools.lru_cache(maxsize=64)
@@ -148,7 +151,7 @@ def _pad_or_trim(x, n: int | None, axis: int):
 def fft(x, n: int | None = None, axis: int = -1):
     """Complex-to-complex forward FFT, unscaled."""
     x, n = _pad_or_trim(x, n, axis)
-    if _use_matmul(n):
+    if _use_matmul(n, "c2c"):
         x = jnp.moveaxis(x, axis, -1)
         return jnp.moveaxis(_matmul_fft(x, n, inverse=False), -1, axis)
     return jnp.fft.fft(x, axis=axis)
@@ -157,7 +160,7 @@ def fft(x, n: int | None = None, axis: int = -1):
 def ifft(x, n: int | None = None, axis: int = -1):
     """Complex-to-complex inverse FFT, scaled by 1/n."""
     x, n = _pad_or_trim(x, n, axis)
-    if _use_matmul(n):
+    if _use_matmul(n, "c2c"):
         x = jnp.moveaxis(x, axis, -1)
         return jnp.moveaxis(_matmul_fft(x, n, inverse=True), -1, axis)
     return jnp.fft.ifft(x, axis=axis)
