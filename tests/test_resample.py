@@ -117,3 +117,27 @@ def test_batched(rng):
     for i in range(3):
         ref = sig.resample_poly(x[i].astype(np.float64), 4, 3)
         np.testing.assert_allclose(y[i], ref, rtol=5e-3, atol=5e-4)
+
+
+def test_multistage_factorization():
+    from vv_dsp_tpu.ops.resample import _factor_stages
+    for up, down in ((160, 147), (441, 480), (320, 441), (2, 1), (7, 5)):
+        stages = _factor_stages(up, down)
+        u = d = 1
+        for su, sd in stages:
+            assert su <= 9 and sd <= 9
+            u *= su
+            d *= sd
+        assert (u, d) == (up, down)
+
+
+def test_multistage_vs_single_stage(rng):
+    import math
+    from vv_dsp_tpu.ops import resample
+    t = np.arange(44100) / 44100.0
+    x = jnp.asarray(np.sin(2 * np.pi * 997.0 * t)[None, :], dtype=jnp.float32)
+    y = resample.resample_multistage(x, 160, 147, use_pallas=False)
+    assert y.shape[-1] == -(-x.shape[-1] * 160 // 147)
+    want = np.sin(2 * np.pi * 997.0 * np.arange(y.shape[-1]) / 48000.0)
+    np.testing.assert_allclose(np.asarray(y[0, 1000:-1000]),
+                               want[1000:-1000], atol=5e-3)

@@ -208,3 +208,84 @@ def resample_poly(x, up: int, down: int):
     h = _resample_poly_filter(up, down)
     half_len = (len(h) - 1) // 2
     return _upfirdn_gather(h, x, up, down, half_len, n_out)
+
+
+# ---------------------------------------------------------------------------
+# multistage rational resampling — for large L/M ratios
+# ---------------------------------------------------------------------------
+
+def _factor_stages(up: int, down: int, max_side: int = 9):
+    """Split L/M into a cascade of small rational stages (each side's factor
+    <= max_side) so every stage stays in the fast polyphase regime. Greedy:
+    pair the largest remaining up-factor with the largest remaining
+    down-factor per stage."""
+    def prime_factors(v):
+        out = []
+        d = 2
+        while d * d <= v:
+            while v % d == 0:
+                out.append(d)
+                v //= d
+            d += 1
+        if v > 1:
+            out.append(v)
+        return out
+
+    def group(factors):
+        # multiply small primes together while staying <= max_side
+        factors = sorted(factors, reverse=True)
+        groups = []
+        for f in factors:
+            if f > max_side:
+                raise ValueError(f"prime factor {f} too large for multistage")
+            placed = False
+            for i, g in enumerate(groups):
+                if g * f <= max_side:
+                    groups[i] = g * f
+                    placed = True
+                    break
+            if not placed:
+                groups.append(f)
+        return sorted(groups, reverse=True)
+
+    ups = group(prime_factors(up)) if up > 1 else []
+    downs = group(prime_factors(down)) if down > 1 else []
+    stages = []
+    while ups or downs:
+        u = ups.pop(0) if ups else 1
+        d = downs.pop(0) if downs else 1
+        stages.append((u, d))
+    return stages
+
+
+def resample_multistage(x, up: int, down: int, use_pallas: bool | None = None):
+    """Rational resampling as a cascade of small polyphase stages.
+
+    For large coprime ratios (e.g. 160/147 for 44.1k->48k) the single-stage
+    polyphase filter has up*taps_pp ~ 20*max(L,M)*... weights — too many for
+    the Pallas unroll and slow even as a dense einsum. Factoring into stages
+    with single-digit ratios keeps every stage in the fast regime and needs
+    FEWER total taps (each stage's transition band is wider). The composite
+    response differs slightly from scipy.signal.resample_poly's single
+    filter (it is a cascade of kaiser anti-aliasers — at least as much
+    stopband rejection), so this is a quality-equivalent, not sample-exact,
+    alternative; output length still ceil(n*L/M).
+    """
+    g = math.gcd(up, down)
+    up //= g
+    down //= g
+    if up == 1 and down == 1:
+        return x
+    n_in = x.shape[-1]
+    n_out_target = -(-n_in * up // down)
+    if use_pallas is None:
+        import jax
+        use_pallas = jax.default_backend() == "tpu" and x.ndim == 2
+    for u, d in _factor_stages(up, down):
+        if use_pallas:
+            from vv_dsp_tpu.ops import pallas_kernels as _pk
+            x = _pk.resample_poly_pallas(x, u, d)
+        else:
+            x = resample_poly(x, u, d)
+    # cascade of ceils can overshoot by a sample or two
+    return x[..., :n_out_target]
