@@ -83,3 +83,36 @@ def test_batched(rng):
     x = rng.standard_normal((3, 4, 100)).astype(np.float32)
     assert stats.rms(jnp.asarray(x)).shape == (3, 4)
     assert stats.autocorrelation(jnp.asarray(x), 5).shape == (3, 4, 6)
+
+
+def test_kahan_sum(rng):
+    from vv_dsp_tpu.ops.stats import kahan_sum
+    # pathological case: large value plus many tiny ones
+    x = np.full(100001, 1e-4, dtype=np.float32)
+    x[0] = 1e7
+    got = float(kahan_sum(jnp.asarray(x)))
+    want = float(np.sum(x.astype(np.float64)))
+    assert abs(got - want) / want < 1e-6
+    # matches plain sum on benign data, any shape/axis
+    y = rng.standard_normal((4, 1000)).astype(np.float32)
+    np.testing.assert_allclose(np.asarray(kahan_sum(jnp.asarray(y))),
+                               y.astype(np.float64).sum(-1), rtol=1e-6,
+                               atol=1e-6)
+
+
+def test_complex_ops(rng):
+    from vv_dsp_tpu.ops import complex_ops as C
+    a = (rng.standard_normal(64) + 1j * rng.standard_normal(64)
+         ).astype(np.complex64)
+    b = (rng.standard_normal(64) + 1j * rng.standard_normal(64)
+         ).astype(np.complex64)
+    np.testing.assert_allclose(np.asarray(jnp.real(C.cpx_mul(
+        jnp.asarray(a), jnp.asarray(b)))), (a * b).real, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(C.cpx_abs(jnp.asarray(a))),
+                               np.abs(a), rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(C.cpx_phase(jnp.asarray(a))),
+                               np.angle(a), rtol=1e-5, atol=1e-5)
+    back = C.cpx_from_polar(C.cpx_abs(jnp.asarray(a)),
+                            C.cpx_phase(jnp.asarray(a)))
+    np.testing.assert_allclose(np.asarray(jnp.real(back)), a.real, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(jnp.imag(back)), a.imag, atol=1e-5)

@@ -37,6 +37,7 @@ from vv_dsp_tpu.utils.nan_policy import NanPolicy, apply_nan_policy
 from vv_dsp_tpu.ops.window import get_window, WINDOW_NAMES
 from vv_dsp_tpu.ops import (
     window,
+    complex_ops,
     stats,
     framing,
     fft,

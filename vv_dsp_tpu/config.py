@@ -74,3 +74,13 @@ def set_flush_denormals(enabled: bool) -> bool:
 
 def get_flush_denormals() -> bool:
     return _flush_denormals
+
+
+def set_debug_nans(enabled: bool) -> None:
+    """Trap NaN production device-wide (jax_debug_nans) — the runtime analog
+    of the reference's ASan/UBSan debug builds plus its ERROR NaN policy
+    (CMakeLists.txt:78-79, src/core/nan_policy.c): any op producing NaN
+    raises immediately with the offending jaxpr."""
+    import jax
+
+    jax.config.update("jax_debug_nans", bool(enabled))

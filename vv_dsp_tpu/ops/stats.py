@@ -149,3 +149,33 @@ def cross_correlation(x, y, max_lag: int):
     count = jnp.minimum(nx, ny - lags)
     safe = jnp.maximum(count, 1).astype(x.dtype)
     return jnp.where(count > 0, r / safe, 0.0)
+
+
+def kahan_sum(x, axis=-1):
+    """Compensated (Kahan) summation (vv_dsp_sum uses Kahan compensation,
+    src/core/core.c:44-53). XLA's default reduction is pairwise — already
+    O(sqrt(n)) better error than naive — but Kahan gives O(1) error growth
+    for very long streaming accumulations; implemented as a lax.scan over
+    128-lane chunks so the running compensation stays vectorized."""
+    from jax import lax
+
+    x = jnp.moveaxis(x, axis, -1)
+    n = x.shape[-1]
+    lanes = 128
+    pad = (-n) % lanes
+    if pad:
+        x = jnp.concatenate([x, jnp.zeros(x.shape[:-1] + (pad,), x.dtype)],
+                            axis=-1)
+    chunks = x.reshape(x.shape[:-1] + (-1, lanes))
+    chunks = jnp.moveaxis(chunks, -2, 0)  # (n_chunks, ..., lanes)
+
+    def step(carry, c):
+        s, comp = carry
+        y = c - comp
+        t = s + y
+        comp = (t - s) - y
+        return (t, comp), None
+
+    zero = jnp.zeros(chunks.shape[1:], x.dtype)
+    (s, comp), _ = lax.scan(step, (zero, zero), chunks)
+    return jnp.sum(s - comp, axis=-1)
