@@ -18,9 +18,17 @@ def force_cpu():
         pass  # backend already initialized; any device works
 
 
+def _open(path: str):
+    try:
+        return open(path)
+    except OSError as e:
+        sys.stderr.write(f"fopen: {e}\n")  # reference tools perror + exit 1
+        raise SystemExit(1)
+
+
 def read_reals(path: str, n: int | None = None) -> np.ndarray:
     vals = []
-    with open(path) as f:
+    with _open(path) as f:
         for line in f:
             line = line.strip()
             if not line:
@@ -33,7 +41,7 @@ def read_reals(path: str, n: int | None = None) -> np.ndarray:
 
 def read_complex(path: str, n: int | None = None) -> np.ndarray:
     vals = []
-    with open(path) as f:
+    with _open(path) as f:
         for line in f:
             line = line.strip()
             if not line:
