@@ -1,0 +1,101 @@
+"""Multi-host launch harness for TPU pod slices.
+
+On Cloud TPU pods each host runs the SAME program; JAX auto-detects the
+coordinator from the TPU metadata, so launching is just running this script
+on every host (e.g. with `gcloud compute tpus tpu-vm ssh --worker=all`).
+For CPU-based multi-process simulation, pass the coordinator explicitly:
+
+  # terminal 1..N (N processes x 1 device):
+  python scripts/launch_multihost.py --coordinator localhost:9876 \
+      --num-processes 2 --process-id 0 &
+  python scripts/launch_multihost.py --coordinator localhost:9876 \
+      --num-processes 2 --process-id 1 &
+
+Runs a sharded FIR + north-star chain step over the global mesh and reports
+per-host timings — the ">= 85% scaling" check from BASELINE.json.
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--coordinator", default=None)
+    ap.add_argument("--num-processes", type=int, default=None)
+    ap.add_argument("--process-id", type=int, default=None)
+    ap.add_argument("--channels", type=int, default=16)
+    ap.add_argument("--seconds", type=float, default=10.0)
+    args = ap.parse_args()
+
+    import jax
+
+    if args.coordinator:
+        # CPU simulation needs one device per process
+        jax.config.update("jax_platforms", "cpu")
+        jax.distributed.initialize(args.coordinator, args.num_processes,
+                                   args.process_id)
+    else:
+        from vv_dsp_tpu.parallel.mesh import initialize_distributed
+
+        initialize_distributed()
+
+    import numpy as np
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from vv_dsp_tpu.parallel import mesh as pmesh, fir_apply_sharded
+    from vv_dsp_tpu.ops import fir
+    from vv_dsp_tpu.models import NorthStarChain
+
+    n_dev = len(jax.devices())
+    mesh = pmesh.make_mesh(1, n_dev)
+    if jax.process_index() == 0:
+        print(f"{jax.process_count()} processes, {n_dev} devices, "
+              f"mesh {dict(mesh.shape)}")
+
+    n = int(48000 * args.seconds)
+    n -= n % (n_dev * 512 * 3)
+    # each process materializes only its addressable shard
+    global_shape = (args.channels, n)
+    sharding = NamedSharding(mesh, P("channel", "block"))
+    rng = np.random.default_rng(jax.process_index())
+
+    def make_local(idx):
+        shape = tuple(len(range(*s.indices(dim)))
+                      for s, dim in zip(idx, global_shape))
+        return jnp.asarray(rng.standard_normal(shape), dtype=jnp.float32)
+
+    x = jax.make_array_from_callback(global_shape, sharding, make_local)
+
+    h = fir.design_lowpass(1024, 0.45)
+    step = jax.jit(lambda v: fir_apply_sharded(h, v, mesh))
+    step(x).block_until_ready()  # compile
+    t0 = time.perf_counter()
+    for _ in range(5):
+        out = step(x)
+    out.block_until_ready()
+    dt = (time.perf_counter() - t0) / 5
+    if jax.process_index() == 0:
+        msps = args.channels * n / dt / 1e6
+        print(f"sharded 1024-tap FIR: {dt*1e3:.2f} ms/step, {msps:.0f} Msps "
+              f"({msps / n_dev:.0f} Msps/device)")
+
+    chain = NorthStarChain()
+    cstep = jax.jit(lambda v: chain.apply_sharded(v, mesh))
+    cstep(x).block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(3):
+        feats = cstep(x)
+    feats.block_until_ready()
+    dt = (time.perf_counter() - t0) / 3
+    if jax.process_index() == 0:
+        print(f"sharded north-star chain: {dt*1e3:.2f} ms/step -> "
+              f"{args.channels * n / dt / 1e6:.0f} Msps input-rate")
+
+
+if __name__ == "__main__":
+    main()
