@@ -128,3 +128,52 @@ def test_pad_to_blocks():
     xp, n = pmesh.pad_to_blocks(x, mesh)
     assert xp.shape[-1] == 104 and n == 100
     np.testing.assert_array_equal(np.asarray(xp[..., 100:]), 0.0)
+
+
+# ---------------------------------------------------------------------------
+# distributed FFT (four-step) + sharded Hilbert
+# ---------------------------------------------------------------------------
+
+from vv_dsp_tpu.parallel import fft as pfft
+from vv_dsp_tpu.ops import hilbert as _hilbert
+
+
+@pytest.mark.parametrize("shape", [(1, 8), (2, 4)])
+def test_fft_sharded_matches_dense(rng, shape):
+    mesh = make_mesh(shape)
+    nb = shape[1]
+    x = jnp.asarray(rng.standard_normal((8, 1024)), dtype=jnp.float32)
+    spec = pfft.fft_sharded(x, mesh)
+    # cyclic layout: element at shard k1, local k2 = X[k1 + nb*k2]
+    want = np.fft.fft(np.asarray(x, dtype=np.float64))
+    got = np.asarray(spec)
+    n = x.shape[-1]
+    t_local = n // nb
+    reorder = np.empty(n, dtype=np.int64)
+    for k1 in range(nb):
+        reorder[k1 * t_local : (k1 + 1) * t_local] = k1 + nb * np.arange(t_local)
+    np.testing.assert_allclose(got, want[..., reorder], rtol=2e-4, atol=2e-3)
+
+
+@pytest.mark.parametrize("shape", [(1, 8), (2, 4)])
+def test_fft_sharded_roundtrip(rng, shape):
+    mesh = make_mesh(shape)
+    x = jnp.asarray(rng.standard_normal((8, 2048)), dtype=jnp.float32)
+    spec = pfft.fft_sharded(x, mesh)
+    back = pfft.ifft_sharded(spec, mesh)
+    np.testing.assert_allclose(np.asarray(jnp.real(back)), np.asarray(x),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(jnp.imag(back)), 0.0, atol=1e-4)
+
+
+def test_hilbert_sharded_matches_dense(rng):
+    mesh = make_mesh((2, 4))
+    x = jnp.asarray(rng.standard_normal((8, 4096)), dtype=jnp.float32)
+    want = _hilbert.hilbert_analytic(x)
+    got = pfft.hilbert_analytic_sharded(x, mesh)
+    np.testing.assert_allclose(np.asarray(jnp.real(got)),
+                               np.asarray(jnp.real(want)), rtol=1e-3,
+                               atol=1e-3)
+    np.testing.assert_allclose(np.asarray(jnp.imag(got)),
+                               np.asarray(jnp.imag(want)), rtol=1e-3,
+                               atol=1e-3)

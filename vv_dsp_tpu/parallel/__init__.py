@@ -25,3 +25,8 @@ from vv_dsp_tpu.parallel.ops import (
     resample_poly_sharded,
     shard_channels,
 )
+from vv_dsp_tpu.parallel.fft import (
+    fft_sharded,
+    ifft_sharded,
+    hilbert_analytic_sharded,
+)
