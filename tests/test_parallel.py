@@ -177,3 +177,33 @@ def test_hilbert_sharded_matches_dense(rng):
     np.testing.assert_allclose(np.asarray(jnp.imag(got)),
                                np.asarray(jnp.imag(want)), rtol=1e-3,
                                atol=1e-3)
+
+
+def test_cepstrum_sharded_matches_dense(rng):
+    from vv_dsp_tpu.ops import envelope as _env
+    mesh = make_mesh((2, 4))
+    x = jnp.asarray(rng.standard_normal((8, 2048)) + 2.0, dtype=jnp.float32)
+    want = _env.cepstrum_real(x)
+    got = pfft.cepstrum_real_sharded(x, mesh)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-3,
+                               atol=1e-3)
+
+
+@pytest.mark.parametrize("shape", [(1, 8), (2, 4)])
+def test_savgol_sharded_matches_dense(sig, shape):
+    from vv_dsp_tpu.ops import savgol as _savgol
+    mesh = make_mesh(shape)
+    want = _savgol.savgol_filter(sig, 21, 3)
+    got = parallel.ops.savgol_filter_sharded(sig, 21, 3, mesh)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4,
+                               atol=2e-4)
+
+
+@pytest.mark.parametrize("shape", [(1, 8), (2, 4)])
+def test_filtfilt_sharded_matches_dense(sig, shape):
+    mesh = make_mesh(shape)
+    h = fir.design_lowpass(33, 0.25)
+    want = fir.filtfilt_fir(h, sig)
+    got = parallel.ops.filtfilt_fir_sharded(h, sig, mesh)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=5e-4,
+                               atol=5e-4)

@@ -23,10 +23,13 @@ from vv_dsp_tpu.parallel.ops import (
     stft_process_sharded,
     stft_reconstruct_sharded,
     resample_poly_sharded,
+    savgol_filter_sharded,
+    filtfilt_fir_sharded,
     shard_channels,
 )
 from vv_dsp_tpu.parallel.fft import (
     fft_sharded,
     ifft_sharded,
     hilbert_analytic_sharded,
+    cepstrum_real_sharded,
 )

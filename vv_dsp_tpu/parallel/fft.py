@@ -141,3 +141,22 @@ def hilbert_analytic_sharded(x, mesh: Mesh, channel_axis: str = "channel",
         return sb * factor.astype(sb.dtype)
 
     return ifft_sharded(mask(spec), mesh, channel_axis, block_axis)
+
+
+def cepstrum_real_sharded(x, mesh: Mesh, channel_axis: str = "channel",
+                          block_axis: str = "block"):
+    """Real cepstrum of a block-sharded signal (sharded version of
+    ops.envelope.cepstrum_real; reference src/envelope/cepstrum.c:7-39):
+    global FFT -> log(|X| + 1e-12) (pointwise, layout-oblivious) -> global
+    iFFT real part."""
+    spec = fft_sharded(x, mesh, channel_axis, block_axis)
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=P(channel_axis, block_axis),
+        out_specs=P(channel_axis, block_axis))
+    def logmag(sb):
+        return jnp.log(jnp.abs(sb) + 1e-12).astype(sb.dtype)
+
+    return jnp.real(ifft_sharded(logmag(spec), mesh, channel_axis,
+                                 block_axis))

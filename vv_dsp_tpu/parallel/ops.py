@@ -306,3 +306,89 @@ def resample_poly_sharded(x, up: int, down: int, mesh: Mesh,
                           precision=config.MATMUL_PRECISION)
 
     return run(x, idx_j, w_j)
+
+
+# ---------------------------------------------------------------------------
+# Savitzky-Golay and zero-phase FIR — two-sided halos
+# ---------------------------------------------------------------------------
+
+def savgol_filter_sharded(x, window_length: int, polyorder: int, mesh: Mesh,
+                          deriv: int = 0, delta: float = 1.0,
+                          channel_axis: str = "channel",
+                          block_axis: str = "block"):
+    """Sharded Savitzky-Golay, identical to ops.savgol.savgol_filter with
+    mode='reflect'. The centered window needs window_length//2 samples of
+    halo on BOTH sides; the global edges reproduce the reflect padding
+    locally (only the first/last shard pads, interior shards use real
+    neighbor data).
+    """
+    from vv_dsp_tpu.ops import savgol as _savgol
+
+    half = window_length // 2
+    w_np = _savgol.savgol_coeffs_np(window_length, polyorder, deriv, delta)
+    nb = mesh.shape[block_axis]
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=P(channel_axis, block_axis),
+        out_specs=P(channel_axis, block_axis))
+    def run(xb):
+        left = _halo.halo_from_left(xb, half, block_axis)
+        right = _halo.halo_from_right(xb, half, block_axis)
+        ext = jnp.concatenate([left, xb, right], axis=-1)
+        # Global reflect padding happens only at the mesh edges: replace the
+        # zero-filled halo of the first/last shard with the local reflection.
+        idx = lax.axis_index(block_axis)
+        refl_l = xb[..., 1 : half + 1][..., ::-1]
+        t = xb.shape[-1]
+        refl_r = xb[..., t - 1 - half : t - 1][..., ::-1]
+        ext = ext.at[..., :half].set(
+            jnp.where(idx == 0, refl_l, ext[..., :half]))
+        ext = ext.at[..., -half:].set(
+            jnp.where(idx == nb - 1, refl_r, ext[..., -half:]))
+        # valid correlation over ext (causal conv with reversed kernel,
+        # dropping the warm-up) -> exactly t outputs
+        return _fir.fir_apply_mxu(w_np[::-1].copy(), ext)[..., 2 * half:]
+
+    return run(x)
+
+
+def filtfilt_fir_sharded(h, x, mesh: Mesh, channel_axis: str = "channel",
+                         block_axis: str = "block"):
+    """Sharded zero-phase FIR (ops.fir.filtfilt_fir semantics): symmetric
+    global edge padding, forward causal pass then time-reversed pass —
+    realized as one centered non-causal filter with g = h (*) h-reversed
+    (the autocorrelation of h), using two-sided halos of taps-1 samples."""
+    h_np = np.asarray(h, dtype=np.float64)
+    taps = h_np.shape[-1]
+    pad = taps - 1
+    # h fwd then reversed-h == correlation with g = conv(h, h[::-1]),
+    # centered at lag 0: y[i] = sum_k g[k] xext[i + k - (taps-1)]
+    g = np.convolve(h_np, h_np[::-1])
+    nb = mesh.shape[block_axis]
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=P(channel_axis, block_axis),
+        out_specs=P(channel_axis, block_axis))
+    def run(xb):
+        if pad == 0:
+            return xb * jnp.asarray(g[0], dtype=xb.dtype)
+        left = _halo.halo_from_left(xb, pad, block_axis)
+        right = _halo.halo_from_right(xb, pad, block_axis)
+        ext = jnp.concatenate([left, xb, right], axis=-1)
+        idx = lax.axis_index(block_axis)
+        # symmetric padding at the global edges (reference reflect_pad)
+        refl_l = xb[..., :pad][..., ::-1]
+        t = xb.shape[-1]
+        refl_r = xb[..., t - pad :][..., ::-1]
+        ext = ext.at[..., :pad].set(
+            jnp.where(idx == 0, refl_l, ext[..., :pad]))
+        ext = ext.at[..., -pad:].set(
+            jnp.where(idx == nb - 1, refl_r, ext[..., -pad:]))
+        # causal conv with g over ext, then shift so the center tap aligns:
+        # y[i] = (g * xext)[i + 2*pad] with causal indexing
+        y = _fir.fir_apply_mxu(g, ext)
+        return y[..., 2 * pad :]
+
+    return run(x)
