@@ -91,3 +91,16 @@ def test_batched(rng):
     for i in range(3):
         ref = sig.sosfilt(sos, x[i].astype(np.float64))
         np.testing.assert_allclose(got[i], ref, rtol=RTOL, atol=ATOL)
+
+
+def test_long_signal_stability(rng):
+    """SURVEY hard-part #1: the f32 associative scan must hold scipy parity
+    over long blocks, including narrow near-DC filters."""
+    x = rng.standard_normal(200_000).astype(np.float32)
+    for wn, order in ((0.05, 6), (0.01, 4)):
+        sos = viir.butter_sos(order, wn)
+        want = sig.sosfilt(np.asarray(sos, np.float64),
+                           x.astype(np.float64))
+        got = np.asarray(viir.iir_apply(sos, jnp.asarray(x)))
+        err = np.max(np.abs(got - want)) / np.max(np.abs(want))
+        assert err < 3e-3, (wn, order, err)
