@@ -18,7 +18,6 @@ import jax.numpy as jnp
 
 from vv_dsp_tpu.ops import fir as _fir
 from vv_dsp_tpu.ops import mel as _mel
-from vv_dsp_tpu.ops import resample as _resample
 from vv_dsp_tpu.ops.stft import STFT
 from vv_dsp_tpu import parallel as _par
 

@@ -24,10 +24,7 @@ TPU-native design: three interchangeable paths with identical numerics —
 
 from __future__ import annotations
 
-import functools
-
 import numpy as np
-import jax
 import jax.numpy as jnp
 from jax import lax
 

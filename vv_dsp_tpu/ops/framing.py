@@ -21,8 +21,6 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from vv_dsp_tpu import config
-
 
 def num_frames(signal_len: int, frame_len: int, hop_len: int, center: bool) -> int:
     """Frame count (vv_dsp_get_num_frames, src/core/framing.c:58-69)."""

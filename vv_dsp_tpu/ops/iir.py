@@ -28,7 +28,6 @@ within 3e-3 (python/test_filters.py:32-33).
 from __future__ import annotations
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 from jax import lax
 

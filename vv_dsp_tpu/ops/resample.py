@@ -26,7 +26,6 @@ import math
 
 import numpy as np
 import jax.numpy as jnp
-from jax import lax
 
 from vv_dsp_tpu import config
 from vv_dsp_tpu.ops.window import get_window_np

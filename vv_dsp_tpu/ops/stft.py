@@ -23,7 +23,6 @@ import dataclasses
 
 import jax.numpy as jnp
 
-from vv_dsp_tpu import config
 from vv_dsp_tpu.ops import framing
 from vv_dsp_tpu.ops import fft as _fft
 from vv_dsp_tpu.ops.window import get_window

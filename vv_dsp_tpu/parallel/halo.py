@@ -18,7 +18,6 @@ ceil(halo / t_local) ppermute rounds, each pulling one block further away
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 from jax import lax
 

@@ -9,11 +9,8 @@ shard_map) are the communication backend — the NCCL-equivalent is built in.
 
 from __future__ import annotations
 
-import math
-
 import jax
-import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 
 def initialize_distributed(coordinator_address: str | None = None,

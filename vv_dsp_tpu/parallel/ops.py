@@ -41,7 +41,6 @@ from vv_dsp_tpu.ops import fir as _fir
 from vv_dsp_tpu.ops import iir as _iir
 from vv_dsp_tpu.ops import framing as _framing
 from vv_dsp_tpu.ops import resample as _resample
-from vv_dsp_tpu.ops.fft import next_pow2
 from vv_dsp_tpu.ops.window import get_window
 from vv_dsp_tpu.parallel import halo as _halo
 

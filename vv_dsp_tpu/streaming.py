@@ -25,13 +25,11 @@ import dataclasses
 import math
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 
 from vv_dsp_tpu.ops import fir as _fir
 from vv_dsp_tpu.ops import iir as _iir
 from vv_dsp_tpu.ops import resample as _resample
-from vv_dsp_tpu.ops.fft import next_pow2
 from vv_dsp_tpu.ops.window import get_window
 
 
