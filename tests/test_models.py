@@ -75,3 +75,55 @@ def test_graft_entry():
     out = jax.jit(fn)(*args)
     assert out.ndim == 3
     mod.dryrun_multichip(8)
+
+
+def test_streaming_chain_matches_offline(rng):
+    """Block-streaming chain == offline chain on the shared frame set, and
+    checkpoint/resume mid-stream is bit-identical."""
+    from vv_dsp_tpu.models import StreamingNorthStar
+    from vv_dsp_tpu.utils import checkpoint
+    import tempfile, os
+
+    chain = StreamingNorthStar(fir_taps=64, up=4, down=3, nfft=256, hop=64,
+                               n_mels=32, n_mfcc=13)
+    block = 3 * 64 * 4  # 768 in -> 1024 resampled -> 16 frames/block
+    x = jnp.asarray(rng.standard_normal((2, 8 * block)), dtype=jnp.float32)
+
+    state = chain.init(x.shape[:-1])
+    feats = []
+    mid_state = None
+    for i in range(8):
+        f, state = chain.process(state, x[..., i * block : (i + 1) * block])
+        feats.append(f)
+        if i == 3:
+            mid_state = jax.tree_util.tree_map(lambda a: a, state)
+    streamed = jnp.concatenate(feats, axis=-2)
+
+    # Offline equivalent: the streaming resampler emits
+    # resample_poly(concat(zeros(delay_in), fir(x))) (its documented fixed
+    # lead-in), and streaming STFT frame f covers that stream's samples
+    # [f*hop - (nfft-hop), f*hop + hop) -> offline frame f - (nfft/hop - 1).
+    from vv_dsp_tpu.ops import fir as _fir, mel as _mel
+    from vv_dsp_tpu.ops.stft import STFT
+    from vv_dsp_tpu.ops.resample import resample_poly
+    delay_in = chain._resampler._geometry[3]
+    y = _fir.fir_apply(chain.fir_coeffs, x)
+    y_lead = jnp.concatenate(
+        [jnp.zeros(y.shape[:-1] + (delay_in,), y.dtype), y], axis=-1)
+    y2 = resample_poly(y_lead, 4, 3)
+    power = STFT(256, 64).power(y2)
+    offline = _mel.mfcc(power, 256, 32, 13, 48000.0 * 4 / 3)
+    warm = 256 // 64 - 1
+    nf = min(offline.shape[-2], streamed.shape[-2] - warm) - 1
+    np.testing.assert_allclose(np.asarray(streamed[..., warm : warm + nf, :]),
+                               np.asarray(offline[..., :nf, :]), rtol=2e-3,
+                               atol=2e-3)
+
+    # checkpoint at block 3, resume, and verify identical continuation
+    fd, path = tempfile.mkstemp(); os.close(fd)
+    checkpoint.save(path, mid_state)
+    restored = checkpoint.load(path, chain.init(x.shape[:-1]))
+    os.unlink(path)
+    f_a, _ = chain.process(mid_state, x[..., 4 * block : 5 * block])
+    f_b, _ = chain.process(restored, x[..., 4 * block : 5 * block])
+    np.testing.assert_array_equal(np.asarray(f_a), np.asarray(f_b))

@@ -75,3 +75,16 @@ def test_nan_policy_semantics():
     np.testing.assert_array_equal(ig, [1.0, 0.0, 0.0, 0.0, 2.0])
     cl = np.asarray(apply_nan_policy(x, NanPolicy.CLAMP))
     assert cl[1] == 0.0 and cl[2] > 1e37 and cl[3] < -1e37
+
+
+def test_matmul_precision_switch(rng):
+    from vv_dsp_tpu import config
+    from jax import lax
+    assert config.get_matmul_precision() == lax.Precision.HIGHEST
+    config.set_matmul_precision("default")
+    try:
+        assert config.get_matmul_precision() == lax.Precision.DEFAULT
+        with pytest.raises(ValueError):
+            config.set_matmul_precision("double")
+    finally:
+        config.set_matmul_precision("highest")

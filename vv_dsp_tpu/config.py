@@ -22,9 +22,34 @@ DEFAULT_REAL_DTYPE = jnp.float32
 DEFAULT_COMPLEX_DTYPE = jnp.complex64
 
 # Matmul precision used by matmul-form transforms (DCT, mel filterbank,
-# polyphase). HIGHEST on TPU = f32 accumulate with multi-pass bf16 or native
-# f32, which is what the parity tolerances need.
+# polyphase, matmul-DFT). HIGHEST on TPU = f32-accurate multi-pass bf16,
+# which is what the SciPy-parity tolerances need. Switchable at runtime —
+# the TPU analog of the reference's float/double precision build option
+# (VV_DSP_USE_DOUBLE, vv_dsp_types.h): here the trade is parity-accurate f32
+# vs ~4x-faster single-pass bf16 (~1e-2 relative) for serving paths that
+# tolerate it.
 MATMUL_PRECISION = lax.Precision.HIGHEST
+
+_PRECISIONS = {
+    "highest": lax.Precision.HIGHEST,  # f32-accurate (parity contract)
+    "high": lax.Precision.HIGH,        # 3-pass bf16 (~1e-5)
+    "default": lax.Precision.DEFAULT,  # single-pass bf16 (~1e-2, fastest)
+}
+
+
+def set_matmul_precision(name: str) -> None:
+    """Runtime accuracy/throughput knob for every matmul-form transform.
+
+    NB: jit caches compiled programs — set this before tracing a function
+    (or call fn.clear_cache()) for it to take effect on that function."""
+    global MATMUL_PRECISION
+    if name not in _PRECISIONS:
+        raise ValueError(f"precision must be one of {sorted(_PRECISIONS)}")
+    MATMUL_PRECISION = _PRECISIONS[name]
+
+
+def get_matmul_precision():
+    return MATMUL_PRECISION
 
 
 def real_dtype(dtype=None):

@@ -16,3 +16,4 @@ jit/shard_map friendly.
 """
 
 from vv_dsp_tpu.models.pipeline import NorthStarChain, SpectralGate, MFCCFrontend
+from vv_dsp_tpu.models.streaming_chain import StreamingNorthStar

@@ -1,0 +1,97 @@
+"""Streaming end-to-end pipeline: the NorthStarChain as a block-at-a-time
+stream with carried, checkpointable state.
+
+Composes the streaming primitives (FIR history, polyphase latency buffer,
+STFT analysis tail) into one `(state, block) -> (features, state)` function —
+the production serving shape: feed fixed-size audio blocks, get fixed-size
+MFCC frame batches, snapshot/restore the state pytree at any block boundary
+(utils.checkpoint). Matches the offline chain on the overlapping frame set.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax.numpy as jnp
+
+from vv_dsp_tpu import streaming
+from vv_dsp_tpu.ops import fir as _fir
+from vv_dsp_tpu.ops import mel as _mel
+from vv_dsp_tpu.ops.fft import rfft_power
+
+
+@dataclasses.dataclass(frozen=True)
+class StreamingNorthStar:
+    """Block-streaming FIR -> polyphase resample -> STFT -> log-mel -> MFCC.
+
+    block_in must be a multiple of down * hop * down... precisely: the
+    resampler needs block_in % down == 0 and the STFT needs the resampled
+    block (block_in * up / down) % hop == 0.
+    """
+
+    fir_taps: int = 1024
+    fir_cutoff: float = 0.45
+    up: int = 4
+    down: int = 3
+    nfft: int = 2048
+    hop: int = 512
+    n_mels: int = 80
+    n_mfcc: int = 20
+    sample_rate: float = 48000.0
+    window: str = "hann"
+
+    @functools.cached_property
+    def fir_coeffs(self):
+        return _fir.design_lowpass(self.fir_taps, self.fir_cutoff)
+
+    @functools.cached_property
+    def _resampler(self):
+        return streaming.ResamplePolyStream(self.up, self.down)
+
+    @functools.cached_property
+    def _stft(self):
+        return streaming.StftStream(self.nfft, self.hop, self.window)
+
+    def validate_block(self, block_in: int) -> int:
+        """Frames emitted per block; raises if the geometry doesn't tile."""
+        if block_in % self.down:
+            raise ValueError("block must be a multiple of `down`")
+        out = block_in * self.up // self.down
+        if out % self.hop:
+            raise ValueError(
+                "resampled block length must be a multiple of hop "
+                f"(got {out} % {self.hop})")
+        return out // self.hop
+
+    def init(self, batch_shape=(), dtype=jnp.float32):
+        return {
+            "fir": streaming.fir_stream_init(self.fir_coeffs, batch_shape,
+                                             dtype),
+            "resample": self._resampler.init(batch_shape, dtype),
+            "stft": self._stft.analysis_init(batch_shape, dtype),
+        }
+
+    def process(self, state, block):
+        """(state, (..., block_in)) -> ((..., frames, n_mfcc), state)."""
+        self.validate_block(block.shape[-1])
+        y, fir_s = streaming.fir_stream_process(self.fir_coeffs,
+                                                state["fir"], block)
+        y, rs_s = self._resampler.process(state["resample"], y)
+        # STFT analysis on the resampled stream; frames -> power -> MFCC
+        ext = jnp.concatenate([state["stft"], y], axis=-1)
+        k = y.shape[-1] // self.hop
+        from vv_dsp_tpu.ops.framing import frames_strided
+        from vv_dsp_tpu.ops.window import get_window
+
+        win = get_window(self.window, self.nfft, dtype=y.dtype)
+        frames = frames_strided(ext, self.nfft, self.hop, k) * win
+        power = rfft_power(frames)
+        feats = _mel.mfcc(power, self.nfft, self.n_mels, self.n_mfcc,
+                          self.sample_rate * self.up / self.down)
+        new_state = {
+            "fir": fir_s,
+            "resample": rs_s,
+            "stft": ext[..., -(self.nfft - self.hop):],
+        }
+        return feats, new_state
