@@ -95,3 +95,41 @@ def test_batched_channels(rng):
     assert y.shape == (3, 512)
     ref = np.asarray(plan.reconstruct(plan.process(jnp.asarray(x[1])), 512))
     np.testing.assert_allclose(y[1], ref, atol=1e-6)
+
+
+@pytest.mark.parametrize("window,hop_div", [("hann", 2), ("hann", 4),
+                                            ("hamming", 2), ("boxcar", 1),
+                                            ("blackman", 4)])
+def test_cola_perfect_reconstruction(rng, window, hop_div):
+    """COLA property sweep (gtest tier, tests/gtest/test_stft.cpp:452): for
+    windows satisfying constant-overlap-add at the given hop, the w^2-
+    normalized roundtrip reconstructs interior samples to float precision."""
+    nfft = 256
+    hop = nfft // hop_div
+    x = jnp.asarray(rng.standard_normal(4096), dtype=jnp.float32)
+    plan = STFT(nfft, hop, window)
+    spec = plan.process(x, rfft=True)
+    y = plan.reconstruct(spec, 4096, rfft=True)
+    np.testing.assert_allclose(np.asarray(y[nfft:-nfft]),
+                               np.asarray(x[nfft:-nfft]), rtol=1e-4,
+                               atol=1e-4)
+
+
+@pytest.mark.parametrize("nfft,hop", [(4, 2), (8, 8), (16, 4)])
+def test_minimal_sizes(rng, nfft, hop):
+    """Minimal-size lifecycle (gtest 'minimal sizes' tier)."""
+    x = jnp.asarray(rng.standard_normal(64), dtype=jnp.float32)
+    plan = STFT(nfft, hop)
+    spec = plan.process(x, rfft=True)
+    assert spec.shape[-1] == nfft // 2 + 1
+    y = plan.reconstruct(spec, 64, rfft=True)
+    assert y.shape[-1] == 64 and np.isfinite(np.asarray(y)).all()
+
+
+def test_invalid_params():
+    with pytest.raises(ValueError):
+        STFT(0, 1)
+    with pytest.raises(ValueError):
+        STFT(64, 0)
+    with pytest.raises(ValueError):
+        STFT(64, 65)

@@ -25,9 +25,10 @@ DEFAULT_COMPLEX_DTYPE = jnp.complex64
 # polyphase, matmul-DFT). HIGHEST on TPU = f32-accurate multi-pass bf16,
 # which is what the SciPy-parity tolerances need. Switchable at runtime —
 # the TPU analog of the reference's float/double precision build option
-# (VV_DSP_USE_DOUBLE, vv_dsp_types.h): here the trade is parity-accurate f32
-# vs ~4x-faster single-pass bf16 (~1e-2 relative) for serving paths that
-# tolerate it.
+# (VV_DSP_USE_DOUBLE, vv_dsp_types.h): lower tiers trade accuracy (~1e-2
+# relative at "default") for MXU throughput on compute-bound matmuls. NB:
+# most ops here are HBM-bound after the framing rewrites, so measure before
+# assuming a win (STFT-1024 showed none on v5e).
 MATMUL_PRECISION = lax.Precision.HIGHEST
 
 _PRECISIONS = {
