@@ -108,3 +108,26 @@ def test_resample_poly_stream(sig, up, down, block):
     lat = rs.latency_out
     np.testing.assert_allclose(got[..., lat : lat + want.shape[-1]], want,
                                rtol=2e-4, atol=2e-4)
+
+
+def test_stft_stream_nonoverlapping(sig):
+    """nfft == hop (zero overlap): carried state is EMPTY and every block's
+    frames are that block's data (regression: a -0 slice once returned the
+    whole buffer, duplicating stale frames and growing state unboundedly)."""
+    nfft = hop = 256
+    st = streaming.StftStream(nfft, hop)
+    plan = STFT(nfft, hop)
+    want = plan.process(sig, rfft=True)
+    state = st.analysis_init(sig.shape[:-1])
+    outs = []
+    for blk in _blocks(sig, 4 * hop):
+        s, state = st.analysis(state, blk)
+        assert state.shape[-1] == 0
+        outs.append(s)
+    got = jnp.concatenate(outs, axis=-2)
+    # offline emits one extra fully-zero tail frame when nfft == hop
+    nf = min(want.shape[-2], got.shape[-2])
+    np.testing.assert_allclose(np.asarray(got[..., :nf, :]),
+                               np.asarray(want[..., :nf, :]), rtol=1e-4,
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(want[..., nf:, :]), 0.0, atol=1e-6)

@@ -53,8 +53,12 @@ def _block_dft(xb, nb: int, axis_name: str, sign: float):
 
 
 def _twiddle(t_local: int, n: int, k1, sign: float, dtype):
-    n2 = jnp.arange(t_local, dtype=jnp.float32)
-    ang = (sign * 2.0 * jnp.pi / n) * n2 * k1.astype(jnp.float32)
+    # Reduce the phase index (n2*k1) mod n in INTEGER arithmetic before the
+    # f32 angle multiply — the raw product reaches n*nb where f32 ULP would
+    # exceed 2*pi (garbage twiddles for signals beyond ~1M samples).
+    n2 = jnp.arange(t_local, dtype=jnp.int32)
+    m = jnp.mod(n2 * k1.astype(jnp.int32), n)
+    ang = (sign * 2.0 * jnp.pi / n) * m.astype(jnp.float32)
     return jax.lax.complex(jnp.cos(ang), jnp.sin(ang)).astype(dtype)
 
 

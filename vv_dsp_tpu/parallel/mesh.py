@@ -21,10 +21,14 @@ def initialize_distributed(coordinator_address: str | None = None,
     On TPU pods the three arguments are auto-detected from the environment;
     pass them explicitly only for manual/CPU multi-process simulation.
     """
-    if jax.process_count() > 1:
-        return  # already initialized
     if coordinator_address is None and num_processes is None:
-        # Single-process (one host's chips, or CPU simulation): nothing to do.
+        # TPU pod auto-detection path; harmless no-op on a single process.
+        # NB: do NOT touch jax.process_count()/jax.devices() before this —
+        # any backend query initializes JAX and makes initialize() raise.
+        try:
+            jax.distributed.initialize()
+        except (RuntimeError, ValueError):
+            return  # single process, or already initialized
         return
     jax.distributed.initialize(coordinator_address, num_processes, process_id)
 

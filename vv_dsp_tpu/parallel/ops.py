@@ -53,11 +53,6 @@ def shard_channels(x, mesh: Mesh, channel_axis: str = "channel"):
     return jax.device_put(x, NamedSharding(mesh, spec))
 
 
-def _specs(mesh: Mesh, channel_axis: str, block_axis: str):
-    io = P(channel_axis, block_axis)
-    return io
-
-
 # ---------------------------------------------------------------------------
 # FIR — overlap-save with left halo (the ring-buffer replacement)
 # ---------------------------------------------------------------------------
@@ -326,6 +321,11 @@ def savgol_filter_sharded(x, window_length: int, polyorder: int, mesh: Mesh,
     half = window_length // 2
     w_np = _savgol.savgol_coeffs_np(window_length, polyorder, deriv, delta)
     nb = mesh.shape[block_axis]
+    if half > x.shape[-1] // nb:
+        raise ValueError(
+            f"window_length//2 = {half} exceeds the per-shard block "
+            f"({x.shape[-1] // nb}); the global-edge reflection only spans "
+            "one shard — use fewer block shards or a shorter window")
 
     @functools.partial(
         jax.shard_map, mesh=mesh,
@@ -365,6 +365,11 @@ def filtfilt_fir_sharded(h, x, mesh: Mesh, channel_axis: str = "channel",
     # centered at lag 0: y[i] = sum_k g[k] xext[i + k - (taps-1)]
     g = np.convolve(h_np, h_np[::-1])
     nb = mesh.shape[block_axis]
+    if pad > x.shape[-1] // nb:
+        raise ValueError(
+            f"taps-1 = {pad} exceeds the per-shard block "
+            f"({x.shape[-1] // nb}); the global-edge reflection only spans "
+            "one shard — use fewer block shards or a shorter filter")
 
     @functools.partial(
         jax.shard_map, mesh=mesh,

@@ -22,10 +22,13 @@ pipeline must save/restore (SURVEY.md section 5.4).
 from __future__ import annotations
 
 import dataclasses
+import functools
 import math
 
 import numpy as np
 import jax.numpy as jnp
+
+from vv_dsp_tpu import config
 
 from vv_dsp_tpu.ops import fir as _fir
 from vv_dsp_tpu.ops import iir as _iir
@@ -53,7 +56,10 @@ def fir_stream_process(h, state, block):
     if taps == 1:
         return h[0] * block, state
     ext = jnp.concatenate([state, block], axis=-1)
-    y = _fir.fir_apply(h, ext)[..., taps - 1:]
+    if taps > 32:  # MXU block-Toeplitz form, same dispatch as the sharded op
+        y = _fir.fir_apply_mxu(h, ext)[..., taps - 1:]
+    else:
+        y = _fir.fir_apply(h, ext)[..., taps - 1:]
     return y, ext[..., -(taps - 1):]
 
 
@@ -116,7 +122,10 @@ class StftStream:
                    + jnp.arange(self.nfft, dtype=jnp.int32)[None, :])
             frames = jnp.take(ext, idx, axis=-1) * win
         spec = jnp.fft.rfft(frames) if rfft else jnp.fft.fft(frames)
-        return spec, ext[..., -(self.nfft - self.hop):]
+        # positive-offset slice: with nfft == hop the carried tail is EMPTY
+        # (a -0 slice would wrongly return the whole buffer)
+        tail_start = ext.shape[-1] - (self.nfft - self.hop)
+        return spec, ext[..., tail_start:]
 
     def synthesis_init(self, batch_shape=(), dtype=jnp.float32):
         """Carried OLA accumulators (data, w^2 norm) of nfft-hop samples."""
@@ -137,11 +146,12 @@ class StftStream:
         out_len = k * self.hop
         overlap = self.nfft - self.hop
         buf_len = out_len + overlap
-        from vv_dsp_tpu.ops.framing import overlap_add
-        recon = overlap_add(time * win, self.hop, buf_len)
+        from vv_dsp_tpu.ops.framing import overlap_add, overlap_add_strided
+        ola = (overlap_add_strided if self.nfft % self.hop == 0
+               else overlap_add)
+        recon = ola(time * win, self.hop, buf_len)
         wsq = jnp.broadcast_to(win * win, (k, self.nfft))
-        norm = jnp.broadcast_to(overlap_add(wsq, self.hop, buf_len),
-                                recon.shape)
+        norm = jnp.broadcast_to(ola(wsq, self.hop, buf_len), recon.shape)
         recon = recon.at[..., :overlap].add(acc)
         norm = norm.at[..., :overlap].add(norm_acc)
         y, ny = recon[..., :out_len], norm[..., :out_len]
@@ -179,7 +189,7 @@ class ResamplePolyStream:
         object.__setattr__(self, "up", self.up // g)
         object.__setattr__(self, "down", self.down // g)
 
-    @property
+    @functools.cached_property
     def _geometry(self):
         h = _resample._resample_poly_filter(self.up, self.down)
         half_len = (len(h) - 1) // 2
@@ -227,7 +237,8 @@ class ResamplePolyStream:
         idx = anchor[:, None] - np.arange(taps_pp)[None, :] + taps_pp - 1
         w = jnp.asarray(hpp[phase], dtype=block.dtype)
         gathered = jnp.take(ext, jnp.asarray(idx, dtype=jnp.int32), axis=-1)
-        y = jnp.einsum("...ot,ot->...o", gathered, w)
+        y = jnp.einsum("...ot,ot->...o", gathered, w,
+                       precision=config.MATMUL_PRECISION)
         return y, ext[..., -hist:]
 
     def flush(self, state):
