@@ -225,3 +225,21 @@ def test_dump_mfcc_format():
     assert all(len(r.split()) == 13 for r in rows)
     # all frames identical (synthetic constant spectrogram)
     assert rows[0] == rows[1]
+
+
+def test_bench_czt_smoke():
+    out = run_tool("bench_czt", 128, 128, 2)
+    assert "CZT bench:" in out and "Peak bin:" in out
+    # bin-centered 37-cycle tone must peak at bin 37
+    assert "Peak bin: 37" in out
+
+
+def test_dump_dct_default_input():
+    # without --infile the reference uses i % 7 — check determinism
+    a = parse_reals(run_tool("dump_dct", "--type", 2, "--dir", "fwd", "-n", 16))
+    b = parse_reals(run_tool("dump_dct", "--type", 2, "--dir", "fwd", "-n", 16))
+    np.testing.assert_array_equal(a, b)
+    x = (np.arange(16) % 7).astype(np.float64)
+    want = np.array([np.sum(x * np.cos(np.pi * (np.arange(16) + 0.5) * k / 16))
+                     for k in range(16)])
+    np.testing.assert_allclose(a, want, rtol=1e-4, atol=1e-4)
