@@ -164,6 +164,26 @@ class StftStream:
 # polyphase resampler stream
 # ---------------------------------------------------------------------------
 
+@functools.lru_cache(maxsize=32)
+def _poly_stream_tables(up: int, down: int, b: int, dtype_name: str):
+    """Device-resident gather indices and phase weights for one block
+    geometry of ResamplePolyStream.process."""
+    h = _resample._resample_poly_filter(up, down)
+    half_len = (len(h) - 1) // 2
+    h_pad = np.zeros((-(-len(h) // up)) * up)
+    h_pad[: len(h)] = h
+    taps_pp = len(h_pad) // up
+    hpp = h_pad.reshape(taps_pp, up).T
+    n_out = b * up // down
+    j = np.arange(n_out)
+    t_loc = half_len + j * down
+    anchor = t_loc // up
+    phase = t_loc % up
+    idx = anchor[:, None] - np.arange(taps_pp)[None, :] + taps_pp - 1
+    return (jnp.asarray(idx, dtype=jnp.int32),
+            jnp.asarray(hpp[phase].astype(np.dtype(dtype_name))))
+
+
 @dataclasses.dataclass(frozen=True)
 class ResamplePolyStream:
     """Streaming scipy-parity polyphase resampler with fixed latency.
@@ -230,13 +250,10 @@ class ResamplePolyStream:
         # with weight hpp[(half_len + j*down) % up, i] — the same polyphase
         # anchor/phase decomposition as ops.resample._upfirdn_gather, shifted
         # so the filter's future span (delay_in) is already in the buffer.
-        j = np.arange(n_out)
-        t_loc = half_len + j * self.down
-        anchor = t_loc // self.up
-        phase = t_loc % self.up
-        idx = anchor[:, None] - np.arange(taps_pp)[None, :] + taps_pp - 1
-        w = jnp.asarray(hpp[phase], dtype=block.dtype)
-        gathered = jnp.take(ext, jnp.asarray(idx, dtype=jnp.int32), axis=-1)
+        # Tables depend only on (up, down, b): cached so the eager block loop
+        # doesn't rebuild/re-upload them every call.
+        idx, w = _poly_stream_tables(self.up, self.down, b, str(block.dtype))
+        gathered = jnp.take(ext, idx, axis=-1)
         y = jnp.einsum("...ot,ot->...o", gathered, w,
                        precision=config.MATMUL_PRECISION)
         return y, ext[..., -hist:]
