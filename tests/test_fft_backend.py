@@ -47,3 +47,14 @@ def test_backend_switch_and_padding(matmul_backend, rng):
                                want, rtol=5e-5, atol=5e-5)
     with pytest.raises(ValueError):
         F.set_fft_backend("fftw")
+
+
+def test_integer_input_matmul_backend(matmul_backend):
+    """Backend-independent behavior: integer input works on the matmul path
+    (regression: the basis was cast to int32, truncating cos/sin)."""
+    x = jnp.arange(16)
+    np.testing.assert_allclose(np.asarray(F.fft(x)), np.fft.fft(np.arange(16)),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(F.rfft(x)),
+                               np.fft.rfft(np.arange(16)), rtol=1e-4,
+                               atol=1e-4)

@@ -85,3 +85,19 @@ def test_batched_channels(rng):
     for i in range(4):
         ref = sig.lfilter(h.astype(np.float64), [1.0], x[i].astype(np.float64))
         np.testing.assert_allclose(y[i], ref, rtol=RTOL, atol=ATOL)
+
+
+def test_mxu_short_signal_many_chunks(rng):
+    """Regression: taps chunks > signal blocks once produced mis-shaped
+    shifted windows (the flagship chain's 1024-tap FIR on short inputs)."""
+    x = jnp.asarray(rng.standard_normal((2, 512)), dtype=jnp.float32)
+    h = vfir.design_lowpass(1024, 0.45)
+    got = vfir.fir_apply_mxu(h, x)
+    want = vfir.fir_apply(h, x)
+    np.testing.assert_allclose(got, want, rtol=3e-5, atol=3e-5)
+
+
+def test_filtfilt_short_signal_raises(rng):
+    h = vfir.design_lowpass(9, 0.3)
+    with pytest.raises(ValueError):
+        vfir.filtfilt_fir(h, jnp.ones((4,)))

@@ -141,3 +141,17 @@ def test_multistage_vs_single_stage(rng):
     want = np.sin(2 * np.pi * 997.0 * np.arange(y.shape[-1]) / 48000.0)
     np.testing.assert_allclose(np.asarray(y[0, 1000:-1000]),
                                want[1000:-1000], atol=5e-3)
+
+
+def test_multistage_large_prime(rng):
+    """Ratios with primes > 9 (e.g. 11) route that factor through a plain
+    polyphase stage instead of raising."""
+    from vv_dsp_tpu.ops.resample import _factor_stages, resample_multistage
+    stages = _factor_stages(10, 11)
+    u = d = 1
+    for su, sd in stages:
+        u *= su; d *= sd
+    assert (u, d) == (10, 11)
+    x = jnp.asarray(rng.standard_normal((2, 2200)), dtype=jnp.float32)
+    y = resample_multistage(x, 10, 11, use_pallas=False)
+    assert y.shape[-1] == -(-2200 * 10 // 11)

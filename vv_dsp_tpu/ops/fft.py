@@ -66,7 +66,7 @@ def _use_matmul(n: int, kind: str = "r2c") -> bool:
     return (jax.default_backend() == "tpu" and n <= cap)
 
 
-@functools.lru_cache(maxsize=64)
+@functools.lru_cache(maxsize=8)
 def _dft_basis(n: int, kind: str) -> np.ndarray:
     """Float64 DFT basis matrices, cast at use site.
 
@@ -77,6 +77,8 @@ def _dft_basis(n: int, kind: str) -> np.ndarray:
     j = np.arange(n, dtype=np.float64)
     if kind == "c2c":
         return np.exp(-2j * np.pi * np.outer(j, j) / n)
+    if kind == "c2c_inv":
+        return np.conj(np.exp(-2j * np.pi * np.outer(j, j) / n)) / n
     if kind == "r2c":
         k = np.arange(n // 2 + 1, dtype=np.float64)
         return np.exp(-2j * np.pi * np.outer(j, k) / n)
@@ -92,12 +94,32 @@ def _dft_basis(n: int, kind: str) -> np.ndarray:
     raise ValueError(kind)
 
 
+@functools.lru_cache(maxsize=16)
+def _basis_on_device(n: int, kind: str, part: str, dtype_name: str):
+    """Device-resident casted basis — avoids the per-eager-call host astype +
+    upload of an O(N^2) matrix (cast in numpy BEFORE the transfer: TPUs have
+    no f64 and an eager f64 host->device convert is unimplemented)."""
+    b = _dft_basis(n, kind)
+    b = b.real if part == "re" else b.imag
+    return jnp.asarray(np.ascontiguousarray(b).astype(np.dtype(dtype_name)))
+
+
 def _mm(a, b_np, out_dtype):
-    # cast in numpy BEFORE the device transfer — TPUs have no f64, and an
-    # eager f64 host->device convert is unimplemented
     b = jnp.asarray(np.asarray(b_np).astype(out_dtype))
     return jnp.einsum("...n,nk->...k", a.astype(out_dtype), b,
                       precision=config.MATMUL_PRECISION)
+
+
+def _mm_basis(a, n: int, kind: str, part: str, out_dtype):
+    b = _basis_on_device(n, kind, part, jnp.dtype(out_dtype).name)
+    return jnp.einsum("...n,nk->...k", a.astype(out_dtype), b,
+                      precision=config.MATMUL_PRECISION)
+
+
+def _real_compute_dtype(x):
+    """Floating dtype for matmul transforms of possibly-integer input."""
+    d = jnp.real(x).dtype
+    return d if jnp.issubdtype(d, jnp.floating) else jnp.float32
 
 
 def _matmul_fft(x, n: int, inverse: bool):
@@ -105,31 +127,30 @@ def _matmul_fft(x, n: int, inverse: bool):
     #   Re = xr Br - xi Bi,  Im = xr Bi + xi Br
     # (keeps the MXU in real f32 AND avoids host->device complex constants,
     # which some PJRT transports cannot transfer)
-    basis = _dft_basis(n, "c2c")
-    if inverse:
-        basis = np.conj(basis) / n
+    kind = "c2c_inv" if inverse else "c2c"
     xr, xi = jnp.real(x), jnp.imag(x)
-    dt = xr.dtype
-    br, bi = basis.real, basis.imag
-    re = _mm(xr, br, dt) - _mm(xi, bi, dt)
-    im = _mm(xr, bi, dt) + _mm(xi, br, dt)
+    dt = _real_compute_dtype(x)
+    re = _mm_basis(xr, n, kind, "re", dt) - _mm_basis(xi, n, kind, "im", dt)
+    im = _mm_basis(xr, n, kind, "im", dt) + _mm_basis(xi, n, kind, "re", dt)
     return jax.lax.complex(re, im)
 
 
+def _matmul_rfft_parts(x, n: int):
+    # two real matmuls (cos / -sin); keeps the MXU in real f32
+    dt = _real_compute_dtype(x)
+    return (_mm_basis(x, n, "r2c", "re", dt),
+            _mm_basis(x, n, "r2c", "im", dt))
+
+
 def _matmul_rfft(x, n: int):
-    # two real matmuls (cos / -sin) -> complex; keeps the MXU in real f32
-    basis = _dft_basis(n, "r2c")
-    dt = x.dtype if jnp.issubdtype(x.dtype, jnp.floating) else jnp.float32
-    re = _mm(x, basis.real, dt)
-    im = _mm(x, basis.imag, dt)
+    re, im = _matmul_rfft_parts(x, n)
     return jax.lax.complex(re, im)
 
 
 def _matmul_irfft(xh, n: int):
-    basis = _dft_basis(n, "c2r")
-    dt = jnp.real(xh).dtype
-    re = _mm(jnp.real(xh), basis.real, dt)
-    im = _mm(jnp.imag(xh), basis.imag, dt)
+    dt = _real_compute_dtype(xh)
+    re = _mm_basis(jnp.real(xh), n, "c2r", "re", dt)
+    im = _mm_basis(jnp.imag(xh), n, "c2r", "im", dt)
     return re - im
 
 
@@ -186,10 +207,7 @@ def rfft_power(x, n: int | None = None, axis: int = -1):
     x, n = _pad_or_trim(x, n, axis)
     if _use_matmul(n):
         x = jnp.moveaxis(x, axis, -1)
-        basis = _dft_basis(n, "r2c")
-        dt = x.dtype if jnp.issubdtype(x.dtype, jnp.floating) else jnp.float32
-        re = _mm(x, basis.real, dt)
-        im = _mm(x, basis.imag, dt)
+        re, im = _matmul_rfft_parts(x, n)
         return jnp.moveaxis(re * re + im * im, -1, axis)
     s = jnp.fft.rfft(x, axis=axis)
     return jnp.square(jnp.abs(s))

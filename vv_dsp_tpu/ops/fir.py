@@ -177,7 +177,7 @@ def fir_apply_mxu(h, x, chunk: int = 128):
     idx = r + C - 1 - s  # tap index within chunk
     valid = (idx >= 0) & (idx < C)
     y = None
-    for j in range(J):
+    for j in range(min(J, nb)):  # chunks beyond nb only hit zero history
         if traced:
             tj = jnp.where(jnp.asarray(valid),
                            hp_j[j * C + np.clip(idx, 0, C - 1)], 0.0)
@@ -203,6 +203,10 @@ def filtfilt_fir(h, x):
     h = jnp.asarray(h, dtype=x.dtype)
     taps = h.shape[-1]
     pad = taps - 1 if taps > 1 else 0
+    if pad and x.shape[-1] < pad:
+        raise ValueError(
+            f"filtfilt_fir needs len(x) >= num_taps - 1 = {pad} "
+            f"(got {x.shape[-1]}); scipy.filtfilt has the same padlen rule")
     if pad:
         # reference reflect_pad: left = [x[pad-1]..x[0]], right = [x[n-1]..]
         # == numpy 'symmetric'

@@ -217,9 +217,8 @@ def resample_poly_pallas(x, up: int, down: int, q_tile: int = 512,
     c_tile = 8
     q_tile = _round_up(q_tile, 128)  # keeps DMA starts/extents lane-aligned
     # Cap the tile so the unrolled slices fit the VMEM stack (see FIR note).
+    # With up*taps_pp <= 512 (checked above) the cap is always >= 512.
     cap = 8 * 1024 * 1024 // (up * taps_pp * c_tile * 4) // 128 * 128
-    if cap < 128:
-        return _resample.resample_poly(x, up, down)
     q_tile = min(q_tile, cap)
 
     # Static tap plan: output (q, p) of tile t reads

@@ -231,12 +231,14 @@ def _factor_stages(up: int, down: int, max_side: int = 9):
         return out
 
     def group(factors):
-        # multiply small primes together while staying <= max_side
+        # multiply small primes together while staying <= max_side; a prime
+        # above max_side becomes its own (single-stage polyphase) stage
         factors = sorted(factors, reverse=True)
         groups = []
         for f in factors:
             if f > max_side:
-                raise ValueError(f"prime factor {f} too large for multistage")
+                groups.append(f)
+                continue
             placed = False
             for i, g in enumerate(groups):
                 if g * f <= max_side:
