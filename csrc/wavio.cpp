@@ -226,7 +226,8 @@ int vv_wav_write(const char *path, const float *planar, uint32_t channels,
   }
   uint32_t frame_bytes = channels * bits / 8;
   uint64_t data_bytes = frames * frame_bytes;
-  uint32_t riff = (uint32_t)(36 + data_bytes);
+  uint32_t pad = (uint32_t)(data_bytes & 1);  // RIFF word alignment
+  uint32_t riff = (uint32_t)(36 + data_bytes + pad);
   uint8_t hdr[44];
   memcpy(hdr, "RIFF", 4);
   memcpy(hdr + 8, "WAVEfmt ", 8);
@@ -295,6 +296,7 @@ int vv_wav_write(const char *path, const float *planar, uint32_t channels,
     }
     done += todo;
   }
+  if (pad) fputc(0, f);
   fclose(f);
   return 0;
 }

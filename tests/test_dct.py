@@ -102,3 +102,22 @@ def test_batched(rng):
     for i in range(4):
         np.testing.assert_allclose(got[i], ref_dct2_forward(x[i].astype(np.float64)),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_backward_fft_path_large_pow2(rng):
+    """The inverse/DCT-III fast paths must agree with the matmul form."""
+    from vv_dsp_tpu.ops import dct as d
+    n = d._FFT_THRESHOLD  # first size where the fast path engages
+    x = jnp.asarray(rng.standard_normal(n), dtype=jnp.float32)
+    fwd = d.dct2_forward(x)
+    back = d.dct2_backward(fwd)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(x), rtol=1e-3,
+                               atol=1e-3)
+    # The fast backward path must equal the explicit 2/N-weighted matmul
+    # (the reference's dct3_inverse_from_ii, which III-backward also routes
+    # to — intentionally NOT the true DCT-III inverse, dct.c:112-119).
+    X = np.asarray(fwd, dtype=np.float64)
+    w = np.full(n, 2.0 / n); w[0] = 1.0 / n
+    mat = d._dct2_matrix(n) * w[:, None]
+    want = X @ mat
+    np.testing.assert_allclose(np.asarray(back), want, rtol=2e-4, atol=2e-4)

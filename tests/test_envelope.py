@@ -97,3 +97,11 @@ def test_batched(rng):
     assert c.shape == (4, 128)
     a, err = ve.lpc(jnp.asarray(x), 4)
     assert a.shape == (4, 5) and err.shape == (4,)
+
+
+def test_lpc_silent_input_no_nans():
+    """Silent input: the reference errors (lpc.c:25); we return zeros
+    instead of NaNs."""
+    a, e = ve.lpc(jnp.zeros(256), 10)
+    assert np.isfinite(np.asarray(a)).all()
+    np.testing.assert_array_equal(np.asarray(a[1:]), 0.0)

@@ -127,3 +127,19 @@ def test_streaming_chain_matches_offline(rng):
     f_a, _ = chain.process(mid_state, x[..., 4 * block : 5 * block])
     f_b, _ = chain.process(restored, x[..., 4 * block : 5 * block])
     np.testing.assert_array_equal(np.asarray(f_a), np.asarray(f_b))
+
+
+def test_streaming_chain_nonoverlapping_state(rng):
+    """Regression: nfft == hop must carry an EMPTY stft tail (the -0 slice
+    bug fixed in StftStream was duplicated here)."""
+    from vv_dsp_tpu.models import StreamingNorthStar
+    chain = StreamingNorthStar(fir_taps=32, up=4, down=3, nfft=256, hop=256,
+                               n_mels=20, n_mfcc=10)
+    block = 3 * 256
+    x = jnp.asarray(rng.standard_normal((1, 3 * block)), dtype=jnp.float32)
+    state = chain.init(x.shape[:-1])
+    shapes = []
+    for i in range(3):
+        f, state = chain.process(state, x[..., i * block : (i + 1) * block])
+        shapes.append(state["stft"].shape[-1])
+    assert shapes == [0, 0, 0]

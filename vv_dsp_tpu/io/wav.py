@@ -52,7 +52,14 @@ def _build_library() -> str | None:
         return None
     out_dir = os.path.join(tempfile.gettempdir(),
                            f"vvdsp_native_{os.getuid()}")
-    os.makedirs(out_dir, exist_ok=True)
+    try:
+        os.makedirs(out_dir, mode=0o700, exist_ok=True)
+        st = os.stat(out_dir)
+        # refuse a pre-planted dir: must be ours and not group/world-writable
+        if st.st_uid != os.getuid() or (st.st_mode & 0o022):
+            out_dir = tempfile.mkdtemp(prefix="vvdsp_native_")
+    except OSError:
+        out_dir = tempfile.mkdtemp(prefix="vvdsp_native_")
     lib_path = os.path.join(out_dir, "libvvdspwav.so")
     if (os.path.exists(lib_path)
             and os.path.getmtime(lib_path) >= os.path.getmtime(src)):
@@ -165,12 +172,16 @@ def _write_np(path: str, planar: np.ndarray, sample_rate: int, fmt: int):
             u = q.astype("<i4").view(np.uint8).reshape(-1, 4)
             payload = np.ascontiguousarray(u[:, :3]).tobytes()
     frame_bytes = channels * bits // 8
+    pad = len(payload) & 1  # RIFF chunks are word-aligned
     with open(path, "wb") as f:
-        f.write(b"RIFF" + struct.pack("<I", 36 + len(payload)) + b"WAVEfmt ")
+        f.write(b"RIFF" + struct.pack("<I", 36 + len(payload) + pad)
+                + b"WAVEfmt ")
         f.write(struct.pack("<IHHIIHH", 16, tag, channels, sample_rate,
                             sample_rate * frame_bytes, frame_bytes, bits))
         f.write(b"data" + struct.pack("<I", len(payload)))
         f.write(payload)
+        if pad:
+            f.write(b"\x00")
 
 
 # ---------------------------------------------------------------------------

@@ -78,20 +78,12 @@ class StreamingNorthStar:
         y, fir_s = streaming.fir_stream_process(self.fir_coeffs,
                                                 state["fir"], block)
         y, rs_s = self._resampler.process(state["resample"], y)
-        # STFT analysis on the resampled stream; frames -> power -> MFCC
-        ext = jnp.concatenate([state["stft"], y], axis=-1)
-        k = y.shape[-1] // self.hop
-        from vv_dsp_tpu.ops.framing import frames_strided
-        from vv_dsp_tpu.ops.window import get_window
-
-        win = get_window(self.window, self.nfft, dtype=y.dtype)
-        frames = frames_strided(ext, self.nfft, self.hop, k) * win
+        # windowed framing via the shared StftStream step (single source of
+        # truth for tail-carry semantics, incl. the nfft == hop empty tail),
+        # then the fused power spectrum -> MFCC
+        frames, stft_s = self._stft.frames(state["stft"], y)
         power = rfft_power(frames)
         feats = _mel.mfcc(power, self.nfft, self.n_mels, self.n_mfcc,
                           self.sample_rate * self.up / self.down)
-        new_state = {
-            "fir": fir_s,
-            "resample": rs_s,
-            "stft": ext[..., -(self.nfft - self.hop):],
-        }
+        new_state = {"fir": fir_s, "resample": rs_s, "stft": stft_s}
         return feats, new_state

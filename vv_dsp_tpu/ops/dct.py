@@ -82,8 +82,39 @@ def dct2_forward(x):
     return _matmul(x, _dct2_matrix(n))
 
 
+def _idct2_fft(X):
+    """Inverse of _dct2_fft (exact inverse of the unscaled DCT-II, i.e. the
+    reference's 2/N-weighted backward): reverse the Makhoul identity —
+    rebuild the half spectrum from the packed real outputs, undo the
+    quarter-sample twiddle, irfft, and undo the even/odd reordering."""
+    n = X.shape[-1]
+    h = n // 2
+    head = X[..., : h + 1]
+    K = (n + 1) // 2 - 1  # slots k = 1..K carry Im(half[k]) = -X[n-k]
+    im_part = -X[..., h + 1 :][..., ::-1]  # positions n-1..h+1 -> k=1..
+    im = jnp.concatenate(
+        [jnp.zeros_like(X[..., :1]), im_part] +
+        ([jnp.zeros_like(X[..., :1])] if n % 2 == 0 else []), axis=-1)
+    cd = jnp.result_type(X.dtype, jnp.complex64)
+    half = head.astype(cd) + 1j * im.astype(cd)
+    k = np.arange(h + 1, dtype=np.float64)
+    ctw = jnp.asarray(np.exp(1j * np.pi * k / (2.0 * n)), dtype=cd)
+    spec = half * ctw
+    if n % 2 == 0:
+        # Nyquist: only Re survived packing; spec must be real = X[h]*sqrt(2)
+        spec = spec.at[..., h].set(head[..., h].astype(cd) * np.sqrt(2.0))
+    v = jnp.fft.irfft(spec, n)
+    ne = (n + 1) // 2
+    out = jnp.zeros_like(v)
+    out = out.at[..., ::2].set(v[..., :ne])
+    out = out.at[..., 1::2].set(v[..., ne:][..., ::-1])
+    return out
+
+
 def dct2_backward(x):
     n = x.shape[-1]
+    if _is_pow2(n) and n >= _FFT_THRESHOLD:
+        return _idct2_fft(x)
     # x[m] = (2/N)(0.5 X[0] + sum_{k>=1} X[k] cos(pi k (m+0.5)/N))
     # (src/spectral/dct.c:32-42); weight w_k = 2/N except w_0 = 1/N.
     w = np.full(n, 2.0 / n)
@@ -95,7 +126,10 @@ def dct2_backward(x):
 def dct3_forward(x):
     # Y[k] = x[0] + 2 sum_{n>=1} x[n] cos(pi k (n+0.5) / N)
     # (exact reference formula incl. the unit coefficient on x[0],
-    # src/spectral/dct.c:46-55).
+    # src/spectral/dct.c:46-55). NB: this kernel is the TRANSPOSE of the
+    # DCT-II backward kernel (the half-sample shift rides the input index),
+    # so the _idct2_fft fast path does NOT apply here; forward DCT-III stays
+    # a matmul (its inverse routes through the fast dct2_backward).
     n = x.shape[-1]
     mat = 2.0 * _dct2_matrix(n)
     mat[:, 0] = 1.0

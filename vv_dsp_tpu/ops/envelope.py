@@ -87,12 +87,16 @@ def levinson(r, order: int):
     """
     dt = r.dtype
     e = r[..., 0]
+    # r[0] == 0 (silent input): the reference rejects this with an error
+    # status (lpc.c:25, e <= 0). Functionally we zero the reflection
+    # coefficients instead of emitting NaNs; a, err come out all-zero.
+    degenerate = e <= 0
     a = [jnp.ones_like(e)] + [jnp.zeros_like(e) for _ in range(order)]
     for m in range(1, order + 1):
         acc = r[..., m]
         for i in range(1, m):
             acc = acc + a[i] * r[..., m - i]
-        k = -acc / e
+        k = jnp.where(degenerate, 0.0, -acc / jnp.where(degenerate, 1.0, e))
         new_a = list(a)
         new_a[m] = k
         for i in range(1, m):

@@ -45,6 +45,8 @@ def _biquad_cumulative(x, b0, b1, b2, a1, a2):
     sharded version (vv_dsp_tpu.parallel) compose whole blocks: a shard's
     total map is (A_cum[-1], b_cum[-1]).
     """
+    if not jnp.issubdtype(x.dtype, jnp.floating):
+        x = x.astype(jnp.float32)  # int input would truncate coefficients
     dt = x.dtype
     A = jnp.asarray([[-a1, 1.0], [-a2, 0.0]], dtype=dt)
     B = jnp.asarray([b1 - a1 * b0, b2 - a2 * b0], dtype=dt)
@@ -188,11 +190,12 @@ def _cheby2_prototype(order: int, rs: float):
     mu = np.arcsinh(1.0 / de) / order
     k = np.arange(order)
     theta = np.pi * (2 * k + 1) / (2 * order)
-    # zeros on the imaginary axis at sec(theta); drop infinite zero (odd order)
-    sines = np.sin(theta)
-    mask = np.abs(sines) > 1e-12 if order % 2 else np.ones(order, bool)
+    # zeros on the imaginary axis at sec(theta); odd order drops the
+    # middle (infinite) zero
     if order % 2:
         mask = np.arange(order) != order // 2
+    else:
+        mask = np.ones(order, bool)
     zeros = 1j / np.cos(theta[mask]) * -1.0
     zeros = np.conj(zeros)
     poles = 1.0 / (-np.sinh(mu) * np.sin(theta) + 1j * np.cosh(mu) * np.cos(theta))

@@ -88,6 +88,11 @@ def savgol_filter(x, window_length: int, polyorder: int, deriv: int = 0,
     src/filter/savgol.c:220-287)."""
     if window_length > 257:
         raise ValueError("window_length must be <= 257 (reference limit)")
+    if window_length // 2 > x.shape[-1] - 1:
+        raise ValueError(
+            f"window_length // 2 = {window_length // 2} exceeds len(x)-1 = "
+            f"{x.shape[-1] - 1}; padding cannot be constructed (scipy raises "
+            "the same)")
     x = apply_nan_policy(x, nan_policy)
     w = jnp.asarray(savgol_coeffs_np(window_length, polyorder, deriv, delta),
                     dtype=x.dtype)

@@ -103,11 +103,10 @@ class StftStream:
         """Carried input tail of nfft-hop samples."""
         return jnp.zeros(tuple(batch_shape) + (self.nfft - self.hop,), dtype)
 
-    def analysis(self, state, block, rfft: bool = True):
-        """(state, (..., k*hop)) -> ((..., k, bins), new_state). Frame f of
-        call t covers global samples [t*B + f*hop - (nfft-hop), ... + nfft),
-        i.e. analysis runs with nfft-hop latency relative to block arrival —
-        the same frames the offline STFT emits, in order, no frame skipped."""
+    def frames(self, state, block):
+        """Shared windowed-framing step: (state, (..., k*hop)) ->
+        ((..., k, nfft) frames, new_state). Used by analysis and by streaming
+        pipelines that want a fused power spectrum instead of complex bins."""
         b = block.shape[-1]
         if b % self.hop:
             raise ValueError("block length must be a multiple of hop")
@@ -121,11 +120,19 @@ class StftStream:
             idx = (jnp.arange(k, dtype=jnp.int32)[:, None] * self.hop
                    + jnp.arange(self.nfft, dtype=jnp.int32)[None, :])
             frames = jnp.take(ext, idx, axis=-1) * win
-        spec = jnp.fft.rfft(frames) if rfft else jnp.fft.fft(frames)
         # positive-offset slice: with nfft == hop the carried tail is EMPTY
         # (a -0 slice would wrongly return the whole buffer)
         tail_start = ext.shape[-1] - (self.nfft - self.hop)
-        return spec, ext[..., tail_start:]
+        return frames, ext[..., tail_start:]
+
+    def analysis(self, state, block, rfft: bool = True):
+        """(state, (..., k*hop)) -> ((..., k, bins), new_state). Frame f of
+        call t covers global samples [t*B + f*hop - (nfft-hop), ... + nfft),
+        i.e. analysis runs with nfft-hop latency relative to block arrival —
+        the same frames the offline STFT emits, in order, no frame skipped."""
+        frames, new_state = self.frames(state, block)
+        spec = jnp.fft.rfft(frames) if rfft else jnp.fft.fft(frames)
+        return spec, new_state
 
     def synthesis_init(self, batch_shape=(), dtype=jnp.float32):
         """Carried OLA accumulators (data, w^2 norm) of nfft-hop samples."""

@@ -41,10 +41,27 @@ def save(path: str, state_tree) -> None:
 
 def load(path: str, like_tree):
     """Restore a pytree saved by :func:`save`; `like_tree` supplies the
-    structure (e.g. a freshly *_init'ed state)."""
+    structure (e.g. a freshly *_init'ed state). Validates leaf count, shapes
+    and the saved treedef against `like_tree` so a config mismatch fails
+    loudly instead of scrambling state."""
     flat_like, treedef = _flatten_with_paths(like_tree)
     with np.load(path) as data:
+        n_saved = sum(1 for k in data.files if k.startswith("leaf_"))
+        if n_saved != len(flat_like):
+            raise ValueError(
+                f"checkpoint has {n_saved} leaves but like_tree has "
+                f"{len(flat_like)} — was it saved with a different config?")
+        saved_def = bytes(data["__treedef__"]).decode()
+        if saved_def != repr(treedef):
+            raise ValueError(
+                "checkpoint tree structure differs from like_tree:\n"
+                f"  saved: {saved_def}\n  expected: {treedef!r}")
         flat = [data[f"leaf_{i}"] for i in range(len(flat_like))]
+    for i, (a, b) in enumerate(zip(flat, flat_like)):
+        if tuple(a.shape) != tuple(np.shape(b)):
+            raise ValueError(
+                f"checkpoint leaf {i} shape {a.shape} != expected "
+                f"{np.shape(b)} — was it saved with a different config?")
     import jax.numpy as jnp
     flat = [jnp.asarray(a) for a in flat]
     return jax.tree_util.tree_unflatten(treedef, flat)
