@@ -84,3 +84,44 @@ def test_extreme_values_clip(tmp_path):
     back, _ = read_wav(p)
     assert back.max() <= 1.0 and back.min() >= -1.0
     np.testing.assert_allclose(back[0, :2], [32767 / 32768.0, -1.0], atol=1e-6)
+
+
+def test_malformed_files_rejected(tmp_path):
+    """Truncated/hostile headers must error cleanly, not crash or hang."""
+    import struct
+    # header claims more data than the file holds
+    p = str(tmp_path / "trunc.wav")
+    with open(p, "wb") as f:
+        f.write(b"RIFF" + struct.pack("<I", 1000) + b"WAVEfmt ")
+        f.write(struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16))
+        f.write(b"data" + struct.pack("<I", 1000))
+        f.write(b"\x00" * 10)  # only 10 of the claimed 1000 bytes
+    with pytest.raises(ValueError):
+        read_wav(p)
+    # zero channels in fmt
+    p2 = str(tmp_path / "zch.wav")
+    with open(p2, "wb") as f:
+        f.write(b"RIFF" + struct.pack("<I", 36) + b"WAVEfmt ")
+        f.write(struct.pack("<IHHIIHH", 16, 1, 0, 8000, 0, 0, 16))
+        f.write(b"data" + struct.pack("<I", 0))
+    with pytest.raises(ValueError):
+        wav_info(p2)
+    # fmt chunk missing entirely
+    p3 = str(tmp_path / "nofmt.wav")
+    with open(p3, "wb") as f:
+        f.write(b"RIFF" + struct.pack("<I", 12) + b"WAVE")
+        f.write(b"data" + struct.pack("<I", 4) + b"\x00" * 4)
+    with pytest.raises(ValueError):
+        read_wav(p3)
+
+
+def test_odd_payload_pad_byte(tmp_path):
+    """24-bit mono with odd frame count: data chunk is odd-sized, the file
+    must carry the RIFF pad byte and still roundtrip."""
+    x = np.linspace(-0.5, 0.5, 1001, dtype=np.float32)
+    p = str(tmp_path / "odd.wav")
+    write_wav(p, x, 8000, format=24)
+    size = len(open(p, "rb").read())
+    assert size % 2 == 0  # word-aligned
+    back, sr = read_wav(p)
+    np.testing.assert_allclose(back[0], x, atol=2e-6)
