@@ -95,13 +95,16 @@ def _dft_basis(n: int, kind: str) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=16)
-def _basis_on_device(n: int, kind: str, part: str, dtype_name: str):
-    """Device-resident casted basis — avoids the per-eager-call host astype +
-    upload of an O(N^2) matrix (cast in numpy BEFORE the transfer: TPUs have
-    no f64 and an eager f64 host->device convert is unimplemented)."""
+def _basis_cast(n: int, kind: str, part: str, dtype_name: str) -> np.ndarray:
+    """HOST-side casted basis, cached — the expensive O(N^2) astype runs
+    once per (n, kind, dtype). The device upload happens at the call site:
+    caching `jnp.asarray` here would capture a TRACER when first invoked
+    inside a jit trace and poison every later trace
+    (UnexpectedTracerError). Cast in numpy BEFORE the transfer — TPUs have
+    no f64 and an eager f64 host->device convert is unimplemented.)"""
     b = _dft_basis(n, kind)
     b = b.real if part == "re" else b.imag
-    return jnp.asarray(np.ascontiguousarray(b).astype(np.dtype(dtype_name)))
+    return np.ascontiguousarray(b).astype(np.dtype(dtype_name))
 
 
 def _mm(a, b_np, out_dtype):
@@ -111,7 +114,7 @@ def _mm(a, b_np, out_dtype):
 
 
 def _mm_basis(a, n: int, kind: str, part: str, out_dtype):
-    b = _basis_on_device(n, kind, part, jnp.dtype(out_dtype).name)
+    b = jnp.asarray(_basis_cast(n, kind, part, jnp.dtype(out_dtype).name))
     return jnp.einsum("...n,nk->...k", a.astype(out_dtype), b,
                       precision=config.MATMUL_PRECISION)
 
