@@ -113,6 +113,10 @@ bool supported(const Fmt &f) {
     set_error("bad fmt fields");
     return false;
   }
+  if (f.channels > 1024) {  // implausible header: refuse before allocating
+    set_error("unsupported channel count: " + std::to_string(f.channels));
+    return false;
+  }
   if (f.format == 1 && (f.bits == 16 || f.bits == 24 || f.bits == 32))
     return true;
   if (f.format == 3 && f.bits == 32) return true;
@@ -135,7 +139,7 @@ typedef struct {
 
 const char *vv_wav_error_string() { return g_error.c_str(); }
 
-int vv_wav_info(const char *path, vv_wav_info_t *out) {
+int vv_wav_info(const char *path, vv_wav_info_t *out) try {
   Reader r;
   if (!r.open(path)) return -1;
   Fmt fmt;
@@ -149,12 +153,20 @@ int vv_wav_info(const char *path, vv_wav_info_t *out) {
   out->format = fmt.format;
   out->frames = data_bytes / frame_bytes;
   return 0;
+} catch (const std::exception &e) {
+  // never let an exception cross the C ABI into ctypes (it would abort)
+  set_error(std::string("internal error: ") + e.what());
+  return -1;
 }
 
-// Decode the whole file to float32 PLANAR (channels x frames, row-major),
+// Decode the whole file to float32 PLANAR (channels x max_frames, row-major),
 // normalizing ints to [-1, 1) by 1/2^(bits-1). `out` must hold
-// channels*frames floats (use vv_wav_info first).
-int vv_wav_read_f32(const char *path, float *out, uint64_t max_frames) {
+// channels*max_frames floats and max_frames is BOTH the capacity and the
+// planar stride (the caller's vv_wav_info view of the file) — decoding stops
+// at max_frames even if the file grew, so the layout can never scramble.
+// Returns the number of frames decoded, or -1 on error.
+int64_t vv_wav_read_f32(const char *path, float *out,
+                        uint64_t max_frames) try {
   Reader r;
   if (!r.open(path)) return -1;
   Fmt fmt;
@@ -163,6 +175,7 @@ int vv_wav_read_f32(const char *path, float *out, uint64_t max_frames) {
   if (!supported(fmt)) return -1;
   const uint32_t ch = fmt.channels;
   const uint32_t bytes_per = fmt.bits / 8;
+  const uint64_t stride = max_frames;  // caller-allocated planar stride
   uint64_t frames = data_bytes / (ch * bytes_per);
   if (frames > max_frames) frames = max_frames;
 
@@ -178,14 +191,14 @@ int vv_wav_read_f32(const char *path, float *out, uint64_t max_frames) {
         for (uint32_t c = 0; c < ch; ++c, p += 4) {
           float v;
           memcpy(&v, p, 4);
-          out[(uint64_t)c * frames + done + i] = v;
+          out[(uint64_t)c * stride + done + i] = v;
         }
     } else if (fmt.bits == 16) {
       const float s = 1.0f / 32768.0f;
       for (size_t i = 0; i < todo; ++i)
         for (uint32_t c = 0; c < ch; ++c, p += 2) {
           int16_t v = (int16_t)rd_u16(p);
-          out[(uint64_t)c * frames + done + i] = v * s;
+          out[(uint64_t)c * stride + done + i] = v * s;
         }
     } else if (fmt.bits == 24) {
       const float s = 1.0f / 8388608.0f;
@@ -193,26 +206,29 @@ int vv_wav_read_f32(const char *path, float *out, uint64_t max_frames) {
         for (uint32_t c = 0; c < ch; ++c, p += 3) {
           int32_t v = ((int32_t)p[0] << 8 | (int32_t)p[1] << 16 |
                        (int32_t)p[2] << 24) >> 8;
-          out[(uint64_t)c * frames + done + i] = v * s;
+          out[(uint64_t)c * stride + done + i] = v * s;
         }
     } else {  // 32-bit PCM
       const float s = 1.0f / 2147483648.0f;
       for (size_t i = 0; i < todo; ++i)
         for (uint32_t c = 0; c < ch; ++c, p += 4) {
           int32_t v = (int32_t)rd_u32(p);
-          out[(uint64_t)c * frames + done + i] = v * s;
+          out[(uint64_t)c * stride + done + i] = v * s;
         }
     }
     done += todo;
   }
-  return (int)0;
+  return (int64_t)done;
+} catch (const std::exception &e) {
+  set_error(std::string("internal error: ") + e.what());
+  return -1;
 }
 
 // Encode float32 planar (channels x frames) to a WAV file.
 // format: 16/24/32 = PCM bit depth, 0 = float32. Values are clipped to the
 // representable range for int formats.
 int vv_wav_write(const char *path, const float *planar, uint32_t channels,
-                 uint64_t frames, uint32_t sample_rate, int format) {
+                 uint64_t frames, uint32_t sample_rate, int format) try {
   uint32_t bits = format == 0 ? 32 : (uint32_t)format;
   uint16_t tag = format == 0 ? 3 : 1;
   if (tag == 1 && bits != 16 && bits != 24 && bits != 32) {
@@ -299,6 +315,9 @@ int vv_wav_write(const char *path, const float *planar, uint32_t channels,
   if (pad) fputc(0, f);
   fclose(f);
   return 0;
+} catch (const std::exception &e) {
+  set_error(std::string("internal error: ") + e.what());
+  return -1;
 }
 
 }  // extern "C"

@@ -88,3 +88,30 @@ def test_matmul_precision_switch(rng):
             config.set_matmul_precision("double")
     finally:
         config.set_matmul_precision("highest")
+
+
+def test_checkpoint_rejects_dtype_mismatch(tmp_path):
+    p = str(tmp_path / "s.ckpt")
+    checkpoint.save(p, {"a": jnp.zeros(4, jnp.float32)})
+    with pytest.raises(ValueError, match="dtype"):
+        checkpoint.load(p, {"a": jnp.zeros(4, jnp.int32)})
+
+
+def test_checkpoint_rejects_structure_mismatch(tmp_path):
+    p = str(tmp_path / "s.ckpt")
+    checkpoint.save(p, {"a": jnp.zeros(4), "b": jnp.ones(3)})
+    with pytest.raises(ValueError, match="structure"):
+        checkpoint.load(p, {"a": jnp.zeros(4), "c": jnp.ones(3)})
+
+
+def test_cpx_device_transport_roundtrip(rng):
+    from vv_dsp_tpu.ops import complex_ops as C
+    x = (rng.standard_normal(64) + 1j * rng.standard_normal(64)).astype(
+        np.complex64)
+    dev = C.cpx_to_device(x)
+    assert jnp.iscomplexobj(dev)
+    back = C.cpx_from_device(dev)
+    np.testing.assert_allclose(back, x, rtol=1e-6)
+    # real arrays pass through both directions
+    r = np.arange(8, dtype=np.float32)
+    np.testing.assert_array_equal(C.cpx_from_device(C.cpx_to_device(r)), r)

@@ -88,7 +88,7 @@ def _get_lib():
         lib.vv_wav_info.restype = ctypes.c_int
         lib.vv_wav_read_f32.argtypes = [
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_float), ctypes.c_uint64]
-        lib.vv_wav_read_f32.restype = ctypes.c_int
+        lib.vv_wav_read_f32.restype = ctypes.c_int64
         lib.vv_wav_write.argtypes = [
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_float), ctypes.c_uint32,
             ctypes.c_uint64, ctypes.c_uint32, ctypes.c_int]
@@ -215,8 +215,14 @@ def read_wav(path: str) -> tuple[np.ndarray, int]:
     rc = lib.vv_wav_read_f32(
         path.encode(), out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         info.frames)
-    if rc != 0:
+    if rc < 0:
         raise ValueError(_native_error(lib))
+    if rc != info.frames:
+        # the file changed between info and read: fail instead of returning a
+        # buffer whose tail was never written
+        raise ValueError(
+            f"WAV decode returned {rc} frames, header promised {info.frames} "
+            "(file changed mid-read?)")
     return out, int(info.sample_rate)
 
 

@@ -107,12 +107,6 @@ def _basis_cast(n: int, kind: str, part: str, dtype_name: str) -> np.ndarray:
     return np.ascontiguousarray(b).astype(np.dtype(dtype_name))
 
 
-def _mm(a, b_np, out_dtype):
-    b = jnp.asarray(np.asarray(b_np).astype(out_dtype))
-    return jnp.einsum("...n,nk->...k", a.astype(out_dtype), b,
-                      precision=config.MATMUL_PRECISION)
-
-
 def _mm_basis(a, n: int, kind: str, part: str, out_dtype):
     b = jnp.asarray(_basis_cast(n, kind, part, jnp.dtype(out_dtype).name))
     return jnp.einsum("...n,nk->...k", a.astype(out_dtype), b,

@@ -22,17 +22,21 @@ import numpy as np
 import jax
 
 
-def _flatten_with_paths(tree):
-    flat, treedef = jax.tree_util.tree_flatten(tree)
-    return flat, treedef
+def _leaf_paths(tree) -> list[str]:
+    """Stable per-leaf key-path strings (e.g. \"['fir']\", \"['stft'][0]\").
+
+    Key paths are semantic (dict keys / sequence indices / field names), so
+    they survive jax upgrades and custom-node re-registration — unlike
+    ``repr(treedef)``, whose format is an implementation detail."""
+    flat, _ = jax.tree_util.tree_flatten_with_path(tree)
+    return [jax.tree_util.keystr(path) for path, _ in flat]
 
 
 def save(path: str, state_tree) -> None:
     """Persist a pytree of arrays to `path` (.npz, atomic)."""
-    flat, treedef = _flatten_with_paths(state_tree)
+    flat, _ = jax.tree_util.tree_flatten(state_tree)
     arrays = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(flat)}
-    arrays["__treedef__"] = np.frombuffer(
-        repr(treedef).encode(), dtype=np.uint8)
+    arrays["__paths__"] = np.array(_leaf_paths(state_tree))
     tmp = path + ".tmp"
     np.savez(tmp, **arrays)
     # numpy appends .npz to the temp name
@@ -41,27 +45,40 @@ def save(path: str, state_tree) -> None:
 
 def load(path: str, like_tree):
     """Restore a pytree saved by :func:`save`; `like_tree` supplies the
-    structure (e.g. a freshly *_init'ed state). Validates leaf count, shapes
-    and the saved treedef against `like_tree` so a config mismatch fails
-    loudly instead of scrambling state."""
-    flat_like, treedef = _flatten_with_paths(like_tree)
+    structure (e.g. a freshly *_init'ed state). Validates leaf count,
+    per-leaf key paths, shapes and dtypes against `like_tree` so a config
+    mismatch fails loudly instead of scrambling or silently casting state."""
+    flat_like, treedef = jax.tree_util.tree_flatten(like_tree)
+    like_paths = _leaf_paths(like_tree)
     with np.load(path) as data:
         n_saved = sum(1 for k in data.files if k.startswith("leaf_"))
         if n_saved != len(flat_like):
             raise ValueError(
                 f"checkpoint has {n_saved} leaves but like_tree has "
                 f"{len(flat_like)} — was it saved with a different config?")
-        saved_def = bytes(data["__treedef__"]).decode()
-        if saved_def != repr(treedef):
-            raise ValueError(
-                "checkpoint tree structure differs from like_tree:\n"
-                f"  saved: {saved_def}\n  expected: {treedef!r}")
+        if "__paths__" in data.files:
+            saved_paths = [str(p) for p in data["__paths__"]]
+            if saved_paths != like_paths:
+                diff = next((i, a, b) for i, (a, b)
+                            in enumerate(zip(saved_paths, like_paths))
+                            if a != b)
+                raise ValueError(
+                    "checkpoint tree structure differs from like_tree at "
+                    f"leaf {diff[0]}: saved {diff[1]!r} != expected "
+                    f"{diff[2]!r}")
         flat = [data[f"leaf_{i}"] for i in range(len(flat_like))]
     for i, (a, b) in enumerate(zip(flat, flat_like)):
         if tuple(a.shape) != tuple(np.shape(b)):
             raise ValueError(
-                f"checkpoint leaf {i} shape {a.shape} != expected "
-                f"{np.shape(b)} — was it saved with a different config?")
+                f"checkpoint leaf {i} ({like_paths[i]}) shape {a.shape} != "
+                f"expected {np.shape(b)} — was it saved with a different "
+                "config?")
+        want = np.result_type(b)
+        if a.dtype != want:
+            raise ValueError(
+                f"checkpoint leaf {i} ({like_paths[i]}) dtype {a.dtype} != "
+                f"expected {want} — refusing a silent cast; was it saved "
+                "under a different dtype config?")
     import jax.numpy as jnp
     flat = [jnp.asarray(a) for a in flat]
     return jax.tree_util.tree_unflatten(treedef, flat)
