@@ -1,5 +1,6 @@
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from vv_dsp_tpu.ops import fft as vfft
 
@@ -69,3 +70,74 @@ def test_phase_unwrap(rng):
     wrapped = np.angle(np.exp(1j * phase)).astype(np.float32)
     un = np.asarray(vfft.phase_unwrap(jnp.asarray(wrapped)))
     np.testing.assert_allclose(un, phase, atol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# four-step factorized tier (the large-N MXU path)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture
+def matmul_backend():
+    """Force the matmul tiers so the CPU suite exercises the TPU dispatch."""
+    vfft.set_fft_backend("matmul")
+    yield
+    vfft.set_fft_backend("auto")
+
+
+def test_four_step_factors():
+    assert vfft._four_step_factors(8192) == (64, 128)
+    assert vfft._four_step_factors(1 << 20) == (1024, 1024)
+    assert vfft._four_step_factors(10000) == (100, 100)
+    assert vfft._four_step_factors(65537) is None  # prime
+    # tier dispatch: above the dense cap, factorable sizes go four-step
+    vfft.set_fft_backend("matmul")
+    try:
+        assert vfft._fft_tier(8192, "r2c") == "four_step"
+        assert vfft._fft_tier(4096, "r2c") == "dense"
+        assert vfft._fft_tier(4096, "c2c") == "four_step"
+        assert vfft._fft_tier(65537, "c2c") == "xla"
+        assert vfft._fft_tier(1 << 25, "c2c") == "xla"
+    finally:
+        vfft.set_fft_backend("auto")
+
+
+@pytest.mark.parametrize("n", [8192, 12288, 10000, 65536, 1 << 20])
+def test_four_step_c2c_parity(rng, matmul_backend, n):
+    """fft_kiss.c:27-74 capability (any composite size) at matmul accuracy:
+    parity vs np.fft within the py-fft 5e-5 contract."""
+    x = (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(
+        np.complex64)
+    want = np.fft.fft(x)
+    got = np.asarray(vfft.fft(jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, atol=ATOL * np.abs(want).max())
+    back = np.asarray(vfft.ifft(jnp.asarray(got.astype(np.complex64))))
+    np.testing.assert_allclose(back, x, atol=5e-4)
+
+
+@pytest.mark.parametrize("n", [8192, 12288, 10000, 65536, 1 << 20])
+def test_four_step_r2c_c2r_parity(rng, matmul_backend, n):
+    x = rng.standard_normal(n).astype(np.float32)
+    want = np.fft.rfft(x)
+    got = np.asarray(vfft.rfft(jnp.asarray(x)))
+    assert got.shape[-1] == n // 2 + 1
+    np.testing.assert_allclose(got, want, atol=ATOL * np.abs(want).max())
+    back = np.asarray(vfft.irfft(jnp.asarray(got.astype(np.complex64)), n))
+    np.testing.assert_allclose(back, x, atol=5e-4)
+
+
+def test_four_step_power_matches_rfft(rng, matmul_backend):
+    n = 8192
+    x = rng.standard_normal((3, n)).astype(np.float32)
+    want = np.abs(np.fft.rfft(x)) ** 2
+    got = np.asarray(vfft.rfft_power(jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, atol=1e-4 * want.max())
+
+
+def test_four_step_batched_matches_single(rng, matmul_backend):
+    n = 8192
+    x = (rng.standard_normal((4, n)) + 1j * rng.standard_normal((4, n))
+         ).astype(np.complex64)
+    batched = np.asarray(vfft.fft(jnp.asarray(x)))
+    for i in range(4):
+        single = np.asarray(vfft.fft(jnp.asarray(x[i])))
+        np.testing.assert_array_equal(batched[i], single)

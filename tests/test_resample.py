@@ -155,3 +155,48 @@ def test_multistage_large_prime(rng):
     x = jnp.asarray(rng.standard_normal((2, 2200)), dtype=jnp.float32)
     y = resample_multistage(x, 10, 11, use_pallas=False)
     assert y.shape[-1] == -(-2200 * 10 // 11)
+
+
+# ---------------------------------------------------------------------------
+# MXU strided-conv upfirdn (resample_poly_mxu)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("up,down", [(4, 3), (2, 1), (1, 2), (160, 147),
+                                     (147, 160), (3, 7), (7, 3)])
+def test_resample_poly_mxu_scipy_parity(rng, up, down):
+    """The strided-conv form must be sample-exact vs scipy.resample_poly —
+    including CD<->48k (160/147) in a SINGLE stage (round-1 needed a
+    quality-equivalent multistage cascade there)."""
+    x = rng.standard_normal((2, 9999)).astype(np.float32)
+    want = sig.resample_poly(x.astype(np.float64), up, down, axis=-1)
+    got = np.asarray(vrs.resample_poly_mxu(jnp.asarray(x), up, down))
+    assert got.shape == want.shape
+    assert np.abs(got - want).max() / max(1.0, np.abs(want).max()) < 5e-5
+
+
+def test_resample_poly_mxu_matches_gather(rng):
+    x = rng.standard_normal((3, 4096)).astype(np.float32)
+    for up, down in [(4, 3), (5, 2), (160, 147)]:
+        a = np.asarray(vrs.resample_poly_mxu(jnp.asarray(x), up, down))
+        b = np.asarray(vrs.resample_poly(jnp.asarray(x), up, down))
+        np.testing.assert_allclose(a, b, atol=2e-5)
+
+
+def test_upfirdn_mxu_scipy_parity(rng):
+    h = sig.firwin(31, 0.4)
+    for up, down in [(3, 2), (5, 4), (1, 3), (4, 1)]:
+        x = rng.standard_normal(1000).astype(np.float32)
+        want = sig.upfirdn(h, x.astype(np.float64), up, down)
+        got = np.asarray(vrs.upfirdn_mxu(h, jnp.asarray(x), up, down))
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_resample_poly_mxu_batched_3d(rng):
+    """The conv path accepts any leading batch shape (the Pallas kernel is
+    2-D only)."""
+    x = rng.standard_normal((2, 3, 999)).astype(np.float32)
+    got = np.asarray(vrs.resample_poly_mxu(jnp.asarray(x), 4, 3))
+    want = sig.resample_poly(x.astype(np.float64), 4, 3, axis=-1)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=5e-5)

@@ -15,12 +15,28 @@ choice here:
 
 - ``"xla"``    — XLA's FFT HLO. Any size, but SLOW on TPU (~86 GFLOPS
                  effective on v5e; the FFT HLO does not use the MXU).
-- ``"matmul"`` — dense DFT as an MXU matmul. O(N^2) FLOPs, but the MXU's
-                 ~50-60 f32 TFLOPS make it 5-15x FASTER than the FFT HLO for
-                 batched transforms up to a few thousand points (benchmarked:
-                 STFT-1024 x 30k frames: 18.3 ms xla vs ~1.3 ms matmul).
-- ``"auto"``   — (default) matmul on TPU for n <= _MATMUL_MAX_N with a large
-                 batch, xla otherwise (CPU: always xla).
+- ``"matmul"`` — MXU matmul forms: dense DFT for small n (O(N^2) FLOPs, but
+                 the MXU's ~50-60 f32 TFLOPS make it 5-15x FASTER than the
+                 FFT HLO for batched transforms up to a few thousand points;
+                 benchmarked: STFT-1024 x 30k frames: 18.3 ms xla vs ~1.3 ms
+                 matmul), and a FOUR-STEP factorized DFT for large n (see
+                 below) — the role the reference fills with its radix-2
+                 kernel / FFTW (src/spectral/fft_kiss.c:27-74).
+- ``"auto"``   — (default) on TPU: dense matmul below the measured
+                 crossover, four-step above it when n factors, xla otherwise
+                 (CPU: always xla).
+
+Four-step factorized DFT (the large-N tier): for composite n = n1*n2 the DFT
+decomposes as
+    X[k1 + n1*k2] = sum_{j2} W_n^{j2 k1} (sum_{j1} x[j1*n2+j2] W_{n1}^{j1 k1})
+                    * W_{n2}^{j2 k2}
+i.e. reshape to (n1, n2) -> DFT columns (matmul vs the dense n1-basis) ->
+elementwise twiddle -> DFT rows (matmul vs the n2-basis) -> transpose. With
+balanced factors both matmuls ride the MXU at O(N*(n1+n2)) FLOPs, erasing
+the O(N^2) dense blow-up while staying ~50x faster than the FFT HLO's
+effective FLOPs on this hardware. All bases and twiddles are generated
+ON-DEVICE from iota (exact int32 phase arithmetic, mod n, then one cos/sin)
+— no multi-MB embedded constants, no host-side cache to leak tracers.
 
 All transforms act on the last axis and batch over leading axes.
 """
@@ -28,6 +44,7 @@ All transforms act on the last axis and batch over leading axes.
 from __future__ import annotations
 
 import functools
+import math
 
 import numpy as np
 import jax
@@ -40,6 +57,10 @@ _TWO_PI = 6.283185307179586476925286766559
 _BACKEND = "auto"
 _MATMUL_MAX_N = 4096
 _BACKENDS = ("auto", "xla", "matmul")
+# Largest dense-basis factor the four-step tier will use; caps coverage at
+# _FOUR_STEP_MAX_FACTOR^2 points per transform.
+_FOUR_STEP_MAX_FACTOR = 4096
+_FOUR_STEP_MAX_N = 1 << 24
 
 
 def set_fft_backend(name: str) -> None:
@@ -55,15 +76,46 @@ def get_fft_backend() -> str:
     return _BACKEND
 
 
-def _use_matmul(n: int, kind: str = "r2c") -> bool:
-    if _BACKEND == "matmul":
-        return n <= 8192  # hard cap: O(N^2) memory for the basis
+@functools.lru_cache(maxsize=256)
+def _four_step_factors(n: int) -> tuple[int, int] | None:
+    """Most balanced factorization n = n1 * n2 with n2 <= the dense-basis cap,
+    or None (prime / too-lopsided n stays on the XLA HLO)."""
+    if n < 16:
+        return None
+    d = int(math.isqrt(n))
+    while d >= 2:
+        if n % d == 0 and n // d <= _FOUR_STEP_MAX_FACTOR:
+            return d, n // d
+        d -= 1
+    return None
+
+
+def _fft_tier(n: int, kind: str) -> str:
+    """Kernel tier for an n-point transform: 'dense' (one matmul vs the full
+    DFT basis), 'four_step' (factorized matmul DFT), or 'xla' (FFT HLO).
+
+    Measured v5e crossovers (round-1/2 chained timing): dense wins below
+    ~4096 (r2c/c2r) / ~2048 (c2c) — the full c2c basis has 2x the columns so
+    its O(N^2) term catches the HLO one octave lower; four-step wins
+    everywhere above that, up to its factor cap.
+    """
     if _BACKEND == "xla":
-        return False
-    # crossover vs the FFT HLO (measured, v5e): the full c2c basis has 2x the
-    # columns of r2c/c2r, so its O(N^2) term catches the HLO one octave lower
+        return "xla"
     cap = _MATMUL_MAX_N if kind in ("r2c", "c2r") else _MATMUL_MAX_N // 2
-    return (jax.default_backend() == "tpu" and n <= cap)
+    if _BACKEND != "matmul" and jax.default_backend() != "tpu":
+        return "xla"
+    if n <= cap:
+        return "dense"
+    if n <= _FOUR_STEP_MAX_N and _four_step_factors(n) is not None:
+        return "four_step"
+    # explicit matmul backend keeps the dense form as far as memory allows
+    if _BACKEND == "matmul" and n <= 8192:
+        return "dense"
+    return "xla"
+
+
+def _use_matmul(n: int, kind: str = "r2c") -> bool:
+    return _fft_tier(n, kind) == "dense"
 
 
 @functools.lru_cache(maxsize=8)
@@ -151,6 +203,113 @@ def _matmul_irfft(xh, n: int):
     return re - im
 
 
+# ---------------------------------------------------------------------------
+# four-step factorized DFT (the large-N MXU tier; fills the role of the
+# reference's O(N log N) kernels src/spectral/fft_kiss.c:27-74 /
+# fft_fftw.c:221-347 at TPU speed)
+# ---------------------------------------------------------------------------
+
+def _fs_basis(m: int, inverse: bool, dtype):
+    """(m, m) DFT basis exp(-+2i pi jk/m) as (cos, sin) parts, generated
+    on-device: jk mod m stays exact in int32 (m <= 4096 so jk < 2^24), the
+    reduced phase is < 2 pi so f32 cos/sin keep full relative accuracy."""
+    j = jax.lax.iota(jnp.int32, m)
+    jk = (j[:, None] * j[None, :]) % m
+    theta = jk.astype(dtype) * jnp.asarray(_TWO_PI / m, dtype)
+    s = jnp.sin(theta)
+    return jnp.cos(theta), (s if inverse else -s)
+
+
+def _fs_twiddle(n1: int, n2: int, n: int, inverse: bool, dtype, scale: float):
+    """(n1, n2) twiddle exp(-+2i pi k1 j2/n) * scale as (cos, sin) parts.
+    k1*j2 < n <= 2^24 keeps the int32 product and its f32 cast exact."""
+    k1 = jax.lax.iota(jnp.int32, n1)
+    j2 = jax.lax.iota(jnp.int32, n2)
+    p = (k1[:, None] * j2[None, :]) % n
+    theta = p.astype(dtype) * jnp.asarray(_TWO_PI / n, dtype)
+    c = jnp.cos(theta) * jnp.asarray(scale, dtype)
+    s = jnp.sin(theta) * jnp.asarray(scale, dtype)
+    return c, (s if inverse else -s)
+
+
+def _four_step_parts(xr, xi, n: int, inverse: bool, out_bins: int | None = None,
+                     real_output: bool = False):
+    """Four-step DFT over the last axis, all-real arithmetic (4 MXU matmuls
+    complex-input / 2 real-input, plus the elementwise twiddle).
+
+    xr/xi: (..., n) real parts (xi=None for real input). Returns (re, im),
+    each (..., n) in natural order — or the first `out_bins` bins only (the
+    rfft packing: with h2 = ceil((out_bins)/n1) k2-columns computed, the
+    transpose-flatten's prefix IS bins 0..out_bins-1 since k = k2*n1 + k1).
+    real_output=True skips the imaginary output (irfft's final stage).
+    """
+    n1, n2 = _four_step_factors(n)
+    dt = xr.dtype
+    prec = config.MATMUL_PRECISION
+    lead = xr.shape[:-1]
+
+    def mm1(b, a):  # B[..., k, j2] = sum_j b[j, k] a[..., j, j2]
+        return jnp.einsum("jk,...jn->...kn", b, a, precision=prec)
+
+    def mm2(a, b):  # D[..., k1, m] = sum_j a[..., k1, j] b[j, m]
+        return jnp.einsum("...kj,jm->...km", a, b, precision=prec)
+
+    f1r, f1i = _fs_basis(n1, inverse, dt)
+    ar = xr.reshape(lead + (n1, n2))
+    if xi is None:
+        br, bi = mm1(f1r, ar), mm1(f1i, ar)
+    else:
+        ai = xi.reshape(lead + (n1, n2))
+        br = mm1(f1r, ar) - mm1(f1i, ai)
+        bi = mm1(f1i, ar) + mm1(f1r, ai)
+
+    scale = 1.0 / n if inverse else 1.0  # reference 1/n inverse convention
+    tr, ti = _fs_twiddle(n1, n2, n, inverse, dt, scale)
+    cr = br * tr - bi * ti
+    ci = br * ti + bi * tr
+
+    f2r, f2i = _fs_basis(n2, inverse, dt)
+    if out_bins is not None:
+        h2 = -(-out_bins // n1)  # k2 columns covering bins 0..out_bins-1
+        f2r, f2i = f2r[:, :h2], f2i[:, :h2]
+    dr = mm2(cr, f2r) - mm2(ci, f2i)
+    out_r = jnp.swapaxes(dr, -1, -2).reshape(lead + (-1,))
+    if out_bins is not None:
+        out_r = out_r[..., :out_bins]
+    if real_output:
+        return out_r, None
+    di = mm2(cr, f2i) + mm2(ci, f2r)
+    out_i = jnp.swapaxes(di, -1, -2).reshape(lead + (-1,))
+    if out_bins is not None:
+        out_i = out_i[..., :out_bins]
+    return out_r, out_i
+
+
+def _four_step_fft(x, n: int, inverse: bool):
+    dt = _real_compute_dtype(x)
+    if jnp.iscomplexobj(x):
+        re, im = _four_step_parts(jnp.real(x).astype(dt),
+                                  jnp.imag(x).astype(dt), n, inverse)
+    else:
+        re, im = _four_step_parts(x.astype(dt), None, n, inverse)
+    return jax.lax.complex(re, im)
+
+
+def _four_step_rfft_parts(x, n: int):
+    dt = _real_compute_dtype(x)
+    return _four_step_parts(x.astype(dt), None, n, inverse=False,
+                            out_bins=n // 2 + 1)
+
+
+def _four_step_irfft(xh, n: int):
+    full = hermitian_expand(xh, n)
+    dt = _real_compute_dtype(xh)
+    re, _ = _four_step_parts(jnp.real(full).astype(dt),
+                             jnp.imag(full).astype(dt), n, inverse=True,
+                             real_output=True)
+    return re
+
+
 def _pad_or_trim(x, n: int | None, axis: int):
     if n is None:
         return x, x.shape[axis]
@@ -169,18 +328,24 @@ def _pad_or_trim(x, n: int | None, axis: int):
 def fft(x, n: int | None = None, axis: int = -1):
     """Complex-to-complex forward FFT, unscaled."""
     x, n = _pad_or_trim(x, n, axis)
-    if _use_matmul(n, "c2c"):
+    tier = _fft_tier(n, "c2c")
+    if tier != "xla":
         x = jnp.moveaxis(x, axis, -1)
-        return jnp.moveaxis(_matmul_fft(x, n, inverse=False), -1, axis)
+        y = (_matmul_fft(x, n, inverse=False) if tier == "dense"
+             else _four_step_fft(x, n, inverse=False))
+        return jnp.moveaxis(y, -1, axis)
     return jnp.fft.fft(x, axis=axis)
 
 
 def ifft(x, n: int | None = None, axis: int = -1):
     """Complex-to-complex inverse FFT, scaled by 1/n."""
     x, n = _pad_or_trim(x, n, axis)
-    if _use_matmul(n, "c2c"):
+    tier = _fft_tier(n, "c2c")
+    if tier != "xla":
         x = jnp.moveaxis(x, axis, -1)
-        return jnp.moveaxis(_matmul_fft(x, n, inverse=True), -1, axis)
+        y = (_matmul_fft(x, n, inverse=True) if tier == "dense"
+             else _four_step_fft(x, n, inverse=True))
+        return jnp.moveaxis(y, -1, axis)
     return jnp.fft.ifft(x, axis=axis)
 
 
@@ -188,23 +353,31 @@ def rfft(x, n: int | None = None, axis: int = -1):
     """Real-to-complex FFT: n real -> n//2+1 Hermitian-packed bins
     (reference R2C, src/spectral/fft_kiss.c:120-147)."""
     x, n = _pad_or_trim(x, n, axis)
-    if _use_matmul(n):
+    tier = _fft_tier(n, "r2c")
+    if tier != "xla":
         x = jnp.moveaxis(x, axis, -1)
-        return jnp.moveaxis(_matmul_rfft(x, n), -1, axis)
+        if tier == "dense":
+            y = _matmul_rfft(x, n)
+        else:
+            re, im = _four_step_rfft_parts(x, n)
+            y = jax.lax.complex(re, im)
+        return jnp.moveaxis(y, -1, axis)
     return jnp.fft.rfft(x, axis=axis)
 
 
 def rfft_power(x, n: int | None = None, axis: int = -1):
     """|rfft(x)|^2 without materializing the complex spectrum.
 
-    On the matmul backend the power is re^2 + im^2 of the two real matmul
+    On the matmul tiers the power is re^2 + im^2 of the real matmul
     outputs — XLA fuses it, saving the complex64 HBM round trip (the
     dominant cost of spectrogram->mel pipelines at large batch).
     """
     x, n = _pad_or_trim(x, n, axis)
-    if _use_matmul(n):
+    tier = _fft_tier(n, "r2c")
+    if tier != "xla":
         x = jnp.moveaxis(x, axis, -1)
-        re, im = _matmul_rfft_parts(x, n)
+        re, im = (_matmul_rfft_parts(x, n) if tier == "dense"
+                  else _four_step_rfft_parts(x, n))
         return jnp.moveaxis(re * re + im * im, -1, axis)
     s = jnp.fft.rfft(x, axis=axis)
     return jnp.square(jnp.abs(s))
@@ -214,10 +387,13 @@ def irfft(x, n: int, axis: int = -1):
     """Complex-to-real inverse (Hermitian expand + inverse, 1/n scaled);
     n must be given like the reference's plan size (C2R,
     src/spectral/fft_kiss.c:149-174)."""
-    if _use_matmul(n):
+    tier = _fft_tier(n, "c2r")
+    if tier != "xla":
         x = jnp.moveaxis(x, axis, -1)
         x, _ = _pad_or_trim(x, n // 2 + 1, -1)
-        return jnp.moveaxis(_matmul_irfft(x, n), -1, axis)
+        y = (_matmul_irfft(x, n) if tier == "dense"
+             else _four_step_irfft(x, n))
+        return jnp.moveaxis(y, -1, axis)
     return jnp.fft.irfft(x, n=n, axis=axis)
 
 

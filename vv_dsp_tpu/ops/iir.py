@@ -137,18 +137,22 @@ def iir_apply(sos, x, return_state: bool = False):
 
 
 def lfilter(b, a, x):
-    """General rational IIR via SOS-free direct affine scan when a is order<=2,
-    else cascade fallback is not attempted — provided for the common
-    reference/tool use (single biquad, tools/dump_iir.c)."""
+    """scipy.signal.lfilter semantics for ANY filter order.
+
+    Order <= 2 runs as a single biquad affine scan (the reference/tool path,
+    tools/dump_iir.c); higher orders factor through :func:`tf2sos` into a
+    biquad cascade (root pairing + distributed gain), each stage an
+    associative scan. Parity contract: scipy.signal.lfilter within 3e-3
+    (python/test_filters.py:32-33)."""
     b = np.asarray(b, dtype=np.float64)
     a = np.asarray(a, dtype=np.float64)
     b = b / a[0]
     a = a / a[0]
-    if len(a) > 3 or len(b) > 3:
-        raise NotImplementedError("use iir_apply with SOS for order > 2")
-    b = np.pad(b, (0, 3 - len(b)))
-    a = np.pad(a, (0, 3 - len(a)))
-    return biquad_apply(x, b[0], b[1], b[2], a[1], a[2])
+    if len(a) <= 3 and len(b) <= 3:
+        b = np.pad(b, (0, 3 - len(b)))
+        a = np.pad(a, (0, 3 - len(a)))
+        return biquad_apply(x, b[0], b[1], b[2], a[1], a[2])
+    return iir_apply(tf2sos(b, a), x)
 
 
 # ---------------------------------------------------------------------------
@@ -219,6 +223,45 @@ def _lp2hp_zpk(z, p, k, wo):
     return zh, ph, kh
 
 
+def _lp2bp_zpk(z, p, k, wo, bw):
+    """Lowpass prototype -> bandpass: s -> (s^2 + wo^2)/(bw*s). Each root r
+    splits into the pair r*bw/2 +- sqrt((r*bw/2)^2 - wo^2); the `degree`
+    missing zeros land at the origin; gain scales by bw^degree."""
+    z = np.asarray(z, dtype=np.complex128)
+    p = np.asarray(p, dtype=np.complex128)
+    degree = len(p) - len(z)
+    zs = z * (bw / 2.0)
+    ps = p * (bw / 2.0)
+    zb = np.concatenate([zs + np.sqrt(zs ** 2 - wo ** 2),
+                         zs - np.sqrt(zs ** 2 - wo ** 2)])
+    pb = np.concatenate([ps + np.sqrt(ps ** 2 - wo ** 2),
+                         ps - np.sqrt(ps ** 2 - wo ** 2)])
+    zb = np.append(zb, np.zeros(degree))
+    kb = k * bw ** degree
+    return zb, pb, kb
+
+
+def _lp2bs_zpk(z, p, k, wo, bw):
+    """Lowpass prototype -> bandstop: s -> bw*s/(s^2 + wo^2). Roots invert
+    (bw/2)/r then split like bandpass; the `degree` missing zeros land at
+    +-j*wo (the notch); gain picks up real(prod(-z)/prod(-p))."""
+    z = np.asarray(z, dtype=np.complex128)
+    p = np.asarray(p, dtype=np.complex128)
+    degree = len(p) - len(z)
+    zs = (bw / 2.0) / z if len(z) else np.array([], dtype=np.complex128)
+    ps = (bw / 2.0) / p
+    zb = np.concatenate([zs + np.sqrt(zs ** 2 - wo ** 2),
+                         zs - np.sqrt(zs ** 2 - wo ** 2)]) if len(zs) else (
+        np.array([], dtype=np.complex128))
+    pb = np.concatenate([ps + np.sqrt(ps ** 2 - wo ** 2),
+                         ps - np.sqrt(ps ** 2 - wo ** 2)])
+    zb = np.concatenate([zb, np.full(degree, 1j * wo),
+                         np.full(degree, -1j * wo)])
+    num = np.real(np.prod(-z)) if len(z) else 1.0
+    kb = k * num / np.real(np.prod(-p))
+    return zb, pb, kb
+
+
 def _pair_conjugates(vals):
     """Sort complex values into conjugate pairs (+ at most one real leftover
     per odd count), returning a list of 1- or 2-element arrays."""
@@ -230,10 +273,11 @@ def _pair_conjugates(vals):
         if used[i]:
             continue
         used[i] = True
-        if abs(vals[i].imag) < 1e-10:
+        if abs(vals[i].imag) < 1e-10 * max(1.0, abs(vals[i].real)):
             # find another real
             j = next((jj for jj in order if not used[jj]
-                      and abs(vals[jj].imag) < 1e-10), None)
+                      and abs(vals[jj].imag)
+                      < 1e-10 * max(1.0, abs(vals[jj].real))), None)
             if j is None:
                 pairs.append(np.array([vals[i]]))
             else:
@@ -241,64 +285,146 @@ def _pair_conjugates(vals):
                 pairs.append(np.array([vals[i], vals[j]]))
         else:
             conj = np.conj(vals[i])
-            j = next((jj for jj in order if not used[jj]
-                      and abs(vals[jj] - conj) < 1e-8), None)
-            if j is None:
+            j = min((jj for jj in order if not used[jj]),
+                    key=lambda jj: abs(vals[jj] - conj), default=None)
+            if j is None or abs(vals[j] - conj) > 1e-6 * max(1.0, abs(conj)):
                 raise ValueError("unpaired complex root")
             used[j] = True
             pairs.append(np.array([vals[i], vals[j]]))
     return pairs
 
 
-def zpk2sos(z, p, k):
-    """Pair zeros/poles into second-order sections (simple pairing — exact for
-    the all-pole/all-(+-1)-zero designs produced here)."""
+def zpk2sos(z, p, k, distribute_gain: bool = True):
+    """Pair zeros/poles into second-order sections.
+
+    scipy-grade robustness for arbitrary filters (scipy.signal.zpk2sos
+    role): pole pairs are matched with their NEAREST zero pairs (processing
+    poles closest to the unit circle first, where a bad match costs the most
+    dynamic range), sections are ordered so the near-unit-circle poles come
+    last, and the overall gain is spread geometrically across sections
+    (|k|^(1/n)) instead of loaded onto the first one — the f32 overflow /
+    underflow hazard of single-section gain is what motivates both choices.
+    Leftover zero pairs (numerator order > denominator) become FIR sections.
+    """
     z = np.asarray(z, dtype=np.complex128)
     p = np.asarray(p, dtype=np.complex128)
-    ppairs = _pair_conjugates(p)
+    ppairs = _pair_conjugates(p) if len(p) else []
     zpairs = _pair_conjugates(z) if len(z) else []
-    n_sections = len(ppairs)
+
+    def closeness(pair):  # distance to the unit circle
+        return min(abs(1.0 - np.abs(v)) for v in pair)
+
+    # Assign zeros: nearest-pair matching, worst-conditioned poles pick first.
+    order = sorted(range(len(ppairs)), key=lambda i: closeness(ppairs[i]))
+    remaining = list(zpairs)
+    assigned: dict[int, np.ndarray] = {}
+    for i in order:
+        if remaining:
+            cen = np.mean(ppairs[i])
+            j = min(range(len(remaining)),
+                    key=lambda t: abs(np.mean(remaining[t]) - cen))
+            assigned[i] = remaining.pop(j)
+        else:
+            assigned[i] = np.array([])
+    # Farthest-from-circle sections first; leftover FIR zero sections lead.
+    section_pairs = [(np.array([]), zz) for zz in remaining]
+    section_pairs += [(ppairs[i], assigned[i]) for i in reversed(order)]
+
+    ns = max(len(section_pairs), 1)
+    if distribute_gain and k != 0.0:
+        g = float(abs(k)) ** (1.0 / ns)
+        gains = [g] * ns
+        gains[0] *= 1.0 if k > 0 else -1.0
+    else:
+        gains = [float(k)] + [1.0] * (ns - 1)
+
     sos = []
-    for i in range(n_sections):
-        pp = ppairs[i]
-        zz = zpairs[i] if i < len(zpairs) else np.array([])
+    for i, (pp, zz) in enumerate(section_pairs):
         bpoly = np.real(np.poly(zz)) if len(zz) else np.array([1.0])
-        apoly = np.real(np.poly(pp))
+        apoly = np.real(np.poly(pp)) if len(pp) else np.array([1.0])
         b = np.zeros(3)
         a = np.zeros(3)
-        b[: len(bpoly)] = bpoly
+        b[: len(bpoly)] = bpoly * gains[i]
         a[: len(apoly)] = apoly
-        if i == 0:
-            b = b * k
         sos.append(np.concatenate([b, a]))
+    if not sos:
+        sos.append(np.array([float(k), 0, 0, 1, 0, 0]))
     return np.asarray(sos)
 
 
-def _design(proto, btype: str, wn: float):
+def tf2zpk(b, a):
+    """Transfer-function -> zeros/poles/gain (+ pure-delay count).
+
+    Returns (z, p, k, n_delay) where n_delay counts leading zeros of b — a
+    z^-n_delay factor (zeros at infinity) that sections realize as delay
+    numerators; tf2sos appends them explicitly."""
+    b = np.atleast_1d(np.asarray(b, dtype=np.float64))
+    a = np.atleast_1d(np.asarray(a, dtype=np.float64))
+    if a[0] == 0.0:
+        raise ValueError("a[0] must be nonzero")
+    b = b / a[0]
+    a = a / a[0]
+    nz = np.nonzero(np.abs(b) > 0.0)[0]
+    if len(nz) == 0:
+        return np.array([]), np.array([]), 0.0, 0
+    n_delay = int(nz[0])
+    b = b[n_delay:]
+    k = float(b[0])
+    z = np.roots(b / b[0]) if len(b) > 1 else np.array([])
+    p = np.roots(a) if len(a) > 1 else np.array([])
+    return z, p, k, n_delay
+
+
+def tf2sos(b, a):
+    """Arbitrary-order (b, a) -> SOS cascade (scipy.signal.tf2sos role):
+    root-find, conjugate-pair, proximity-match, distribute gain."""
+    z, p, k, n_delay = tf2zpk(b, a)
+    sos = zpk2sos(z, p, k)
+    for _ in range(n_delay):
+        sos = np.vstack([sos, [0.0, 1.0, 0.0, 1.0, 0.0, 0.0]])
+    return sos
+
+
+def _design(proto, btype: str, wn):
     z, p, k = proto
     fs = 2.0
+    wn = np.atleast_1d(np.asarray(wn, dtype=np.float64))
     warped = 2.0 * fs * np.tan(np.pi * wn / fs)
-    if btype == "lowpass":
-        z, p, k = _lp2lp_zpk(z, p, k, warped)
-    elif btype == "highpass":
-        z, p, k = _lp2hp_zpk(z, p, k, warped)
+    if btype in ("lowpass", "highpass"):
+        if wn.size != 1:
+            raise ValueError(f"{btype} needs a scalar wn")
+        if btype == "lowpass":
+            z, p, k = _lp2lp_zpk(z, p, k, warped[0])
+        else:
+            z, p, k = _lp2hp_zpk(z, p, k, warped[0])
+    elif btype in ("bandpass", "bandstop"):
+        if wn.size != 2 or not wn[0] < wn[1]:
+            raise ValueError(f"{btype} needs wn = (low, high) with low < high")
+        bw = warped[1] - warped[0]
+        wo = float(np.sqrt(warped[0] * warped[1]))
+        if btype == "bandpass":
+            z, p, k = _lp2bp_zpk(z, p, k, wo, bw)
+        else:
+            z, p, k = _lp2bs_zpk(z, p, k, wo, bw)
     else:
-        raise ValueError("btype must be 'lowpass' or 'highpass'")
+        raise ValueError(
+            "btype must be lowpass/highpass/bandpass/bandstop")
     z, p, k = _bilinear_zpk(z, p, k, fs)
     return zpk2sos(z, p, k)
 
 
-def butter_sos(order: int, wn: float, btype: str = "lowpass") -> np.ndarray:
+def butter_sos(order: int, wn, btype: str = "lowpass") -> np.ndarray:
     """Butterworth digital design -> (sections, 6) SOS. wn normalized to
-    Nyquist like scipy.signal.butter(order, wn, btype, output='sos')."""
+    Nyquist like scipy.signal.butter(order, wn, btype, output='sos');
+    bandpass/bandstop take wn = (low, high)."""
     return _design(_butter_prototype(order), btype, wn)
 
 
-def cheby1_sos(order: int, rp: float, wn: float, btype: str = "lowpass") -> np.ndarray:
+def cheby1_sos(order: int, rp: float, wn, btype: str = "lowpass") -> np.ndarray:
     """Chebyshev-I digital design -> SOS (scipy.signal.cheby1 parity)."""
     return _design(_cheby1_prototype(order, rp), btype, wn)
 
 
-def cheby2_sos(order: int, rs: float, wn: float, btype: str = "lowpass") -> np.ndarray:
+def cheby2_sos(order: int, rs: float, wn, btype: str = "lowpass") -> np.ndarray:
     """Chebyshev-II digital design -> SOS (scipy.signal.cheby2 parity)."""
     return _design(_cheby2_prototype(order, rs), btype, wn)

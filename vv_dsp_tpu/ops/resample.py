@@ -25,6 +25,7 @@ import functools
 import math
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from vv_dsp_tpu import config
@@ -207,6 +208,89 @@ def resample_poly(x, up: int, down: int):
     h = _resample_poly_filter(up, down)
     half_len = (len(h) - 1) // 2
     return _upfirdn_gather(h, x, up, down, half_len, n_out)
+
+
+# ---------------------------------------------------------------------------
+# MXU frame-matmul upfirdn — the fast path for ANY ratio
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=64)
+def _upfirdn_conv_plan(h_key, up: int, down: int, offset: int):
+    """Static geometry for the strided-conv upfirdn form.
+
+    Outputs grouped in frames of `up`: y[k*up + p] reads inputs
+    x[k*down + a_p - i] with a_p = (offset + p*down)//up, weight
+    h[r_p + i*up], r_p = (offset + p*down) % up. Over one frame the union of
+    input windows spans Wd = a_{up-1} - (a_0 - taps_pp + 1) + 1 samples, so
+    the whole resample is ONE cross-correlation with stride `down` and `up`
+    output channels: W[p, c] = h[r_p + (a_p - c_lo - c)*up] — natural-order
+    output falls out of the (frames, up) reshape with NO phase transposes
+    (the round-1 Pallas kernel burned ~40%% of its time on exactly those).
+    Returns (W (up, Wd) float64, c_lo).
+    """
+    h = np.asarray(h_key, dtype=np.float64)
+    h_pad = np.zeros((-(-len(h) // up)) * up, dtype=np.float64)
+    h_pad[: len(h)] = h
+    taps_pp = len(h_pad) // up
+    p = np.arange(up)
+    t = offset + p * down
+    anchor = t // up
+    phase = t % up
+    c_lo = int(anchor[0]) - (taps_pp - 1)
+    c_hi = int(anchor[-1])
+    wd = c_hi - c_lo + 1
+    W = np.zeros((up, wd), dtype=np.float64)
+    i = np.arange(taps_pp)
+    for pp in range(up):
+        cols = anchor[pp] - c_lo - i  # window column of tap i
+        W[pp, cols] = h_pad[phase[pp] + i * up]
+    return W, c_lo
+
+
+def _upfirdn_conv(h, x, up: int, down: int, offset: int, n_out: int):
+    """upfirdn as one strided MXU conv (see _upfirdn_conv_plan). Identical
+    output to _upfirdn_gather; wins on TPU because the (n_out, taps_pp)
+    gather matrix never exists in HBM and the output needs no reordering."""
+    W, c_lo = _upfirdn_conv_plan(tuple(np.asarray(h, np.float64)), up, down,
+                                 offset)
+    wd = W.shape[1]
+    n_in = x.shape[-1]
+    k_frames = -(-n_out // up)
+    pad_l = max(0, -c_lo)
+    last_needed = (k_frames - 1) * down + c_lo + wd - 1
+    pad_r = max(0, last_needed - (n_in - 1))
+
+    lead = x.shape[:-1]
+    xb = x.reshape((-1, 1) + (n_in,))
+    xb = jnp.pad(xb, ((0, 0), (0, 0), (pad_l, pad_r)))
+    Wj = jnp.asarray(W.astype(np.dtype(x.dtype)))[:, None, :]  # (up, 1, Wd)
+    y = jax.lax.conv_general_dilated(
+        xb, Wj, window_strides=(down,), padding="VALID",
+        precision=config.MATMUL_PRECISION)  # (batch, up, K)
+    y = jnp.swapaxes(y, -1, -2).reshape(lead + (k_frames * up,))
+    return y[..., :n_out]
+
+
+def resample_poly_mxu(x, up: int, down: int):
+    """scipy.signal.resample_poly parity on the MXU conv path (same filter
+    and output length as resample_poly; bit-identical geometry)."""
+    g = math.gcd(up, down)
+    up //= g
+    down //= g
+    if up == 1 and down == 1:
+        return x
+    n_in = x.shape[-1]
+    n_out = -(-n_in * up // down)
+    h = _resample_poly_filter(up, down)
+    half_len = (len(h) - 1) // 2
+    return _upfirdn_conv(h, x, up, down, half_len, n_out)
+
+
+def upfirdn_mxu(h, x, up: int = 1, down: int = 1):
+    """scipy.signal.upfirdn parity on the strided-conv MXU path."""
+    n_in = x.shape[-1]
+    n_out = -(-((n_in - 1) * up + len(np.asarray(h))) // down)
+    return _upfirdn_conv(h, x, up, down, 0, n_out)
 
 
 # ---------------------------------------------------------------------------
