@@ -29,3 +29,10 @@ for up, down in ratios:
     bench(f"gather {up}/{down}", lambda v, u=up, d=down: R.resample_poly(v, u, d))
     if (up, down) == (160, 147):
         bench("multistage 160/147", lambda v: R.resample_multistage(v, 160, 147))
+
+if "--frames" in sys.argv:
+    for up, down in [(160,147), (147,160)]:
+        h = R._resample_poly_filter(up, down)
+        n_out = -(-N * up // down)
+        bench(f"frames-mm {up}/{down}", lambda v, u=up, d=down, hh=h, no=n_out:
+              R._upfirdn_frames_matmul(hh, v, u, d, (len(hh)-1)//2, no))

@@ -271,9 +271,49 @@ def _upfirdn_conv(h, x, up: int, down: int, offset: int, n_out: int):
     return y[..., :n_out]
 
 
+def _upfirdn_frames_matmul(h, x, up: int, down: int, offset: int,
+                           n_out: int):
+    """upfirdn as strided-reshape framing + ONE einsum.
+
+    frames[k, c] = x[k*down + c_lo + c] built from q = ceil(Wd/down)
+    contiguous reshape views (no gather — the 11x framing lesson), then
+    (..., K, q*down) @ (q*down, up) -> natural-order output. The best form
+    when `up` is large (the einsum's output dim fills MXU tiles; the conv
+    lowering and the Pallas unroll both fall over there), at q*x HBM reads.
+    """
+    W, c_lo = _upfirdn_conv_plan(tuple(np.asarray(h, np.float64)), up, down,
+                                 offset)
+    wd = W.shape[1]
+    q = -(-wd // down)
+    width = q * down
+    Wp = np.zeros((width, up))
+    Wp[:wd] = W.T
+    n_in = x.shape[-1]
+    k_frames = -(-n_out // up)
+    pad_l = max(0, -c_lo)
+    base = c_lo + pad_l
+    pad_r = max(0, base + (k_frames + q - 1) * down - n_in - pad_l)
+    lead = x.shape[:-1]
+    xp = jnp.pad(x, [(0, 0)] * len(lead) + [(pad_l, pad_r)])
+    views = [
+        xp[..., base + r * down: base + (k_frames + r) * down]
+        .reshape(lead + (k_frames, down))
+        for r in range(q)
+    ]
+    frames = jnp.concatenate(views, axis=-1)
+    Wj = jnp.asarray(Wp.astype(np.dtype(x.dtype)))
+    y = jnp.einsum("...kw,wp->...kp", frames, Wj,
+                   precision=config.MATMUL_PRECISION)
+    return y.reshape(lead + (k_frames * up,))[..., :n_out]
+
+
 def resample_poly_mxu(x, up: int, down: int):
-    """scipy.signal.resample_poly parity on the MXU conv path (same filter
-    and output length as resample_poly; bit-identical geometry)."""
+    """scipy.signal.resample_poly parity on the MXU matmul paths (same
+    filter and output length as resample_poly; bit-identical geometry).
+
+    Form dispatch (measured, v5e): large `up` rides the frames-matmul einsum
+    (wide output dim fills the MXU; q = ceil(Wd/down) stays small so the
+    framing inflation is bounded); otherwise the strided conv."""
     g = math.gcd(up, down)
     up //= g
     down //= g
@@ -283,6 +323,10 @@ def resample_poly_mxu(x, up: int, down: int):
     n_out = -(-n_in * up // down)
     h = _resample_poly_filter(up, down)
     half_len = (len(h) - 1) // 2
+    taps_pp = -(-len(h) // up)
+    q = -(-(down + taps_pp) // down)
+    if up >= 32 and q <= 4:
+        return _upfirdn_frames_matmul(h, x, up, down, half_len, n_out)
     return _upfirdn_conv(h, x, up, down, half_len, n_out)
 
 
