@@ -82,8 +82,38 @@ class StreamingNorthStar:
         # truth for tail-carry semantics, incl. the nfft == hop empty tail),
         # then the fused power spectrum -> MFCC
         frames, stft_s = self._stft.frames(state["stft"], y)
-        power = rfft_power(frames)
-        feats = _mel.mfcc(power, self.nfft, self.n_mels, self.n_mfcc,
-                          self.sample_rate * self.up / self.down)
+        feats = self._mfcc(frames)
         new_state = {"fir": fir_s, "resample": rs_s, "stft": stft_s}
         return feats, new_state
+
+    def _mfcc(self, frames):
+        power = rfft_power(frames)
+        return _mel.mfcc(power, self.nfft, self.n_mels, self.n_mfcc,
+                         self.sample_rate * self.up / self.down)
+
+    def flush(self, state):
+        """End-of-stream drain -> the final (..., latency_out//hop + 1,
+        n_mfcc) feature frames.
+
+        Composes the two pending tails the per-block path cannot emit: the
+        resampler's `latency_out` buffered output samples (drained by pushing
+        its `delay_in` zeros — exactly the offline resampler's implicit
+        zero-extension past the signal end) and the STFT's carried nfft-hop
+        analysis tail (completed with zeros like the offline zero-padded tail
+        frames, src/spectral/stft.c:124-137). After flush, the total streamed
+        output equals the offline chain on the full signal INCLUDING its
+        tail frames: streamed[warm:] == offline where warm = nfft/hop - 1
+        (derivation: with S streamed samples (S % hop == 0) and L = S +
+        latency_out total, offline emits 1 + (L-nfft+hop)//hop frames; the
+        deficit after the last block is always floor(lat/hop) + 1 frames =
+        feeding lat + hop - lat%hop more samples).
+        """
+        if self.nfft % self.hop:
+            raise ValueError("flush requires nfft % hop == 0")
+        y_tail = self._resampler.flush(state["resample"])
+        lat = self._resampler.latency_out
+        z = self.hop - lat % self.hop
+        zeros = jnp.zeros(y_tail.shape[:-1] + (z,), y_tail.dtype)
+        feed = jnp.concatenate([y_tail, zeros], axis=-1)
+        frames, _ = self._stft.frames(state["stft"], feed)
+        return self._mfcc(frames)
