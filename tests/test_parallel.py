@@ -227,10 +227,63 @@ def test_fft_sharded_long_signal(rng):
     assert mags > n / 4  # peak magnitude ~ n/2
 
 
+def test_filtfilt_sharded_wide_halo(sig):
+    """halo (taps-1) wider than the per-shard block: multi-block ppermute
+    rounds + global-edge gather fix-up (round-1 refusal lifted)."""
+    mesh = make_mesh((1, 8))
+    h = fir.design_lowpass(1025, 0.25)  # pad 1024 > 4096/8 = 512
+    want = fir.filtfilt_fir(h, sig)
+    got = parallel.ops.filtfilt_fir_sharded(h, sig, mesh)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=5e-4,
+                               atol=5e-4)
+
+
+def test_savgol_sharded_wide_halo(sig):
+    from vv_dsp_tpu.ops import savgol
+    mesh = make_mesh((1, 8))
+    wl = 257  # half 128 > 64 per-shard block (reference caps wl at 257)
+    x = sig[..., :512]
+    want = savgol.savgol_filter(x, wl, 3)
+    got = parallel.ops.savgol_filter_sharded(x, wl, 3, mesh)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-3,
+                               atol=1e-3)
+
+
 def test_sharded_edge_validation(sig):
     mesh = make_mesh((1, 8))
-    h = fir.design_lowpass(1025, 0.25)  # pad 1024 > 4096/8
+    with pytest.raises(ValueError):  # window longer than the whole signal
+        parallel.ops.savgol_filter_sharded(sig, 2 * 4096 + 1, 3, mesh)
+
+
+@pytest.mark.parametrize("nfft,hop", [(512, 160), (384, 96)])
+def test_stft_sharded_nondivisible_hop(sig, nfft, hop):
+    """nfft % hop != 0 (512/160) and pad=True for ragged lengths
+    (round-1 refusals lifted; reference stft.c:33 allows any hop <= nfft)."""
+    mesh = make_mesh((1, 8))
+    x = sig[..., : (sig.shape[-1] // (8 * hop)) * (8 * hop)]
+    plan = STFT(nfft, hop)
+    want = plan.process(x, rfft=True)
+    got = parallel.stft_process_sharded(x, nfft, hop, mesh)
+    nf = min(want.shape[-2], got.shape[-2])
+    np.testing.assert_allclose(got[..., :nf, :], want[..., :nf, :],
+                               rtol=1e-4, atol=1e-4)
+    # roundtrip through the scatter OLA path
+    out = parallel.stft_reconstruct_sharded(got, nfft, hop, mesh)
+    n = x.shape[-1]
+    np.testing.assert_allclose(out[..., nfft : n - nfft],
+                               x[..., nfft : n - nfft], rtol=5e-4, atol=5e-4)
+
+
+def test_stft_sharded_pad_ragged_length(sig):
+    mesh = make_mesh((1, 8))
+    nfft, hop = 256, 64
+    x = sig[..., : 4096 - 100]  # not a multiple of nb*hop
     with pytest.raises(ValueError):
-        parallel.ops.filtfilt_fir_sharded(h, sig, mesh)
-    with pytest.raises(ValueError):
-        parallel.ops.savgol_filter_sharded(sig, 2049, 3, mesh)
+        parallel.stft_process_sharded(x, nfft, hop, mesh)
+    got = parallel.stft_process_sharded(x, nfft, hop, mesh, pad=True)
+    n_pad = 4096  # next multiple of 8*64
+    want = STFT(nfft, hop).process(
+        jnp.pad(x, [(0, 0), (0, n_pad - x.shape[-1])]), rfft=True)
+    nf = min(want.shape[-2], got.shape[-2])
+    np.testing.assert_allclose(got[..., :nf, :], want[..., :nf, :],
+                               rtol=1e-4, atol=1e-4)

@@ -149,27 +149,33 @@ def iir_apply_sharded(sos, x, mesh: Mesh, channel_axis: str = "channel",
 def stft_process_sharded(x, nfft: int, hop: int, mesh: Mesh,
                          window: str = "hann", rfft: bool = True,
                          channel_axis: str = "channel",
-                         block_axis: str = "block"):
-    """Forward STFT over a time-sharded signal.
+                         block_axis: str = "block", pad: bool = False):
+    """Forward STFT over a time-sharded signal, any hop <= nfft
+    (src/spectral/stft.c:33 generality).
 
-    x: (channels, n); n % (n_block_shards * hop) == 0 and nfft % hop == 0
-    required so frame ownership is uniform: shard k owns the frames starting
-    inside its block, pulling nfft-hop samples of right halo (zeros past the
-    signal end, matching the reference's zero-padded tail frames,
-    src/spectral/stft.c:124-137).
+    x: (channels, n); n % (n_block_shards * hop) == 0 required so frame
+    ownership is uniform (pass pad=True to zero-pad any n up to the next
+    multiple — the reference's zero-padded tail frames,
+    src/spectral/stft.c:124-137). Shard k owns the frames starting inside
+    its block, pulling nfft-hop samples of right halo. nfft need NOT divide
+    by hop: non-divisible geometries frame with an in-shard gather instead
+    of the strided reshape.
 
     Returns (channels, n//hop, bins) with the FRAME axis sharded over
     `block_axis` — feed it straight to sharded spectral ops or
     stft_reconstruct_sharded without any resharding. The global frame count
-    here is n//hop (all tail frames); slice [..., :nf, :] for the reference's
+    covers all tail frames; slice [..., :nf, :] for the reference's
     spectrogram count 1 + (n - nfft + hop)//hop.
     """
-    if nfft % hop:
-        raise ValueError("sharded STFT requires nfft % hop == 0")
-    n = x.shape[-1]
     nb = mesh.shape[block_axis]
+    if pad:
+        rem = (-x.shape[-1]) % (nb * hop)
+        if rem:
+            x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, rem)])
+    n = x.shape[-1]
     if n % (nb * hop):
-        raise ValueError("signal length must divide n_block_shards * hop")
+        raise ValueError("signal length must divide n_block_shards * hop "
+                         "(or pass pad=True)")
     win = get_window(window, nfft, dtype=x.dtype)
     overlap = nfft - hop
 
@@ -182,7 +188,13 @@ def stft_process_sharded(x, nfft: int, hop: int, mesh: Mesh,
         ext = jnp.concatenate([xb, right], axis=-1)
         t_local = xb.shape[-1]
         nf_local = t_local // hop
-        frames = _framing.frames_strided(ext, nfft, hop, nf_local) * w
+        if nfft % hop == 0:
+            frames = _framing.frames_strided(ext, nfft, hop, nf_local)
+        else:
+            idx = (jnp.arange(nf_local, dtype=jnp.int32)[:, None] * hop
+                   + jnp.arange(nfft, dtype=jnp.int32)[None, :])
+            frames = jnp.take(ext, idx, axis=-1)
+        frames = frames * w
         if rfft:
             return jnp.fft.rfft(frames)
         return jnp.fft.fft(frames)
@@ -197,15 +209,16 @@ def stft_reconstruct_sharded(spec, nfft: int, hop: int, mesh: Mesh,
     """Inverse STFT with w^2-normalized OLA over frame-sharded spectra.
 
     spec: (channels, frames, bins) with the frame axis sharded as produced by
-    stft_process_sharded. Each shard OLA's its frames into a local buffer of
+    stft_process_sharded (any hop <= nfft; non-divisible geometries use the
+    scatter overlap-add). Each shard OLA's its frames into a local buffer of
     t_local + (nfft-hop) samples, sends the tail spill (data AND w^2 norm) to
     its right neighbor via ppermute, and divides with the reference's 1e-12
     guard (tools/dump_stft_roundtrip.c:50-54). Returns (channels, frames*hop).
     """
-    if nfft % hop:
-        raise ValueError("sharded ISTFT requires nfft % hop == 0")
     win = get_window(window, nfft)
     overlap = nfft - hop
+    ola = (_framing.overlap_add_strided if nfft % hop == 0
+           else _framing.overlap_add)
 
     @functools.partial(
         jax.shard_map, mesh=mesh,
@@ -220,10 +233,9 @@ def stft_reconstruct_sharded(spec, nfft: int, hop: int, mesh: Mesh,
         nf_local = sb.shape[-2]
         t_local = nf_local * hop
         buf_len = t_local + overlap
-        recon = _framing.overlap_add_strided(time * w, hop, buf_len)
+        recon = ola(time * w, hop, buf_len)
         wsq = jnp.broadcast_to(w * w, (nf_local, nfft))
-        norm = jnp.broadcast_to(
-            _framing.overlap_add_strided(wsq, hop, buf_len), recon.shape)
+        norm = jnp.broadcast_to(ola(wsq, hop, buf_len), recon.shape)
         # Stitch the seam: the tail spill of both accumulators (data and w^2
         # norm, stacked so they ride one exchange) is added onto the right
         # neighbors — across several blocks when nfft-hop > t_local. Zeros
@@ -306,45 +318,78 @@ def resample_poly_sharded(x, up: int, down: int, mesh: Mesh,
 # Savitzky-Golay and zero-phase FIR — two-sided halos
 # ---------------------------------------------------------------------------
 
+def _edge_fixed_ext(xb, halo: int, n_total: int, nb: int, block_axis: str,
+                    reflect_mode: str):
+    """Two-sided halo'd window with global-edge padding applied.
+
+    Returns ext = virtually-padded-global-signal[start-halo, start+t+halo)
+    for this shard, where out-of-signal positions follow `reflect_mode`:
+    'reflect'   pad[-i] = x[i]     (savgol REFLECT, np.pad 'reflect'),
+    'symmetric' pad[-i] = x[i-1]   (filtfilt edge padding, np.pad
+                                    'symmetric').
+
+    halo may exceed the per-shard block: the halo exchange runs multi-block
+    ppermute rounds, and — key property — every reflected position g' of an
+    out-of-signal g in this shard's window satisfies |g'| <= halo, which is
+    always inside the shard's own (t + 2*halo) window, so the fix-up is a
+    local gather (no extra communication).
+    """
+    left = _halo.halo_from_left(xb, halo, block_axis)
+    right = _halo.halo_from_right(xb, halo, block_axis)
+    ext = jnp.concatenate([left, xb, right], axis=-1)
+    t = xb.shape[-1]
+    idx = lax.axis_index(block_axis)
+    if halo <= t:
+        # fast static path: only the first/last shard has out-of-signal
+        # positions, covered by its own block (+ right/left halo)
+        if reflect_mode == "reflect":
+            refl_l = xb[..., 1: halo + 1][..., ::-1]
+            refl_r = xb[..., t - 1 - halo: t - 1][..., ::-1]
+        else:
+            refl_l = xb[..., :halo][..., ::-1]
+            refl_r = xb[..., t - halo:][..., ::-1]
+        ext = ext.at[..., :halo].set(
+            jnp.where(idx == 0, refl_l, ext[..., :halo]))
+        ext = ext.at[..., -halo:].set(
+            jnp.where(idx == nb - 1, refl_r, ext[..., -halo:]))
+        return ext
+    # halo spans multiple blocks: gather fix-up against the global edges
+    start = idx * t
+    e = jnp.arange(t + 2 * halo, dtype=jnp.int32)
+    g = start - halo + e
+    if reflect_mode == "reflect":
+        g = jnp.where(g < 0, -g, g)
+        g = jnp.where(g >= n_total, 2 * n_total - 2 - g, g)
+    else:
+        g = jnp.where(g < 0, -g - 1, g)
+        g = jnp.where(g >= n_total, 2 * n_total - 1 - g, g)
+    return jnp.take(ext, g - (start - halo), axis=-1)
+
+
 def savgol_filter_sharded(x, window_length: int, polyorder: int, mesh: Mesh,
                           deriv: int = 0, delta: float = 1.0,
                           channel_axis: str = "channel",
                           block_axis: str = "block"):
     """Sharded Savitzky-Golay, identical to ops.savgol.savgol_filter with
     mode='reflect'. The centered window needs window_length//2 samples of
-    halo on BOTH sides; the global edges reproduce the reflect padding
-    locally (only the first/last shard pads, interior shards use real
-    neighbor data).
+    halo on BOTH sides; halos wider than the per-shard block are supported
+    (multi-block ppermute rounds + local reflected-edge gather).
     """
     from vv_dsp_tpu.ops import savgol as _savgol
 
     half = window_length // 2
     w_np = _savgol.savgol_coeffs_np(window_length, polyorder, deriv, delta)
     nb = mesh.shape[block_axis]
-    if half > x.shape[-1] // nb:
-        raise ValueError(
-            f"window_length//2 = {half} exceeds the per-shard block "
-            f"({x.shape[-1] // nb}); the global-edge reflection only spans "
-            "one shard — use fewer block shards or a shorter window")
+    n_total = x.shape[-1]
+    if half >= n_total:
+        raise ValueError("window_length//2 must be < signal length")
 
     @functools.partial(
         jax.shard_map, mesh=mesh,
         in_specs=P(channel_axis, block_axis),
         out_specs=P(channel_axis, block_axis))
     def run(xb):
-        left = _halo.halo_from_left(xb, half, block_axis)
-        right = _halo.halo_from_right(xb, half, block_axis)
-        ext = jnp.concatenate([left, xb, right], axis=-1)
-        # Global reflect padding happens only at the mesh edges: replace the
-        # zero-filled halo of the first/last shard with the local reflection.
-        idx = lax.axis_index(block_axis)
-        refl_l = xb[..., 1 : half + 1][..., ::-1]
-        t = xb.shape[-1]
-        refl_r = xb[..., t - 1 - half : t - 1][..., ::-1]
-        ext = ext.at[..., :half].set(
-            jnp.where(idx == 0, refl_l, ext[..., :half]))
-        ext = ext.at[..., -half:].set(
-            jnp.where(idx == nb - 1, refl_r, ext[..., -half:]))
+        ext = _edge_fixed_ext(xb, half, n_total, nb, block_axis, "reflect")
         # valid correlation over ext (causal conv with reversed kernel,
         # dropping the warm-up) -> exactly t outputs
         return _fir.fir_apply_mxu(w_np[::-1].copy(), ext)[..., 2 * half:]
@@ -357,7 +402,8 @@ def filtfilt_fir_sharded(h, x, mesh: Mesh, channel_axis: str = "channel",
     """Sharded zero-phase FIR (ops.fir.filtfilt_fir semantics): symmetric
     global edge padding, forward causal pass then time-reversed pass —
     realized as one centered non-causal filter with g = h (*) h-reversed
-    (the autocorrelation of h), using two-sided halos of taps-1 samples."""
+    (the autocorrelation of h), using two-sided halos of taps-1 samples
+    (multi-block halos supported)."""
     h_np = np.asarray(h, dtype=np.float64)
     taps = h_np.shape[-1]
     pad = taps - 1
@@ -365,11 +411,9 @@ def filtfilt_fir_sharded(h, x, mesh: Mesh, channel_axis: str = "channel",
     # centered at lag 0: y[i] = sum_k g[k] xext[i + k - (taps-1)]
     g = np.convolve(h_np, h_np[::-1])
     nb = mesh.shape[block_axis]
-    if pad > x.shape[-1] // nb:
-        raise ValueError(
-            f"taps-1 = {pad} exceeds the per-shard block "
-            f"({x.shape[-1] // nb}); the global-edge reflection only spans "
-            "one shard — use fewer block shards or a shorter filter")
+    n_total = x.shape[-1]
+    if pad >= n_total:
+        raise ValueError("taps-1 must be < signal length")
 
     @functools.partial(
         jax.shard_map, mesh=mesh,
@@ -378,18 +422,7 @@ def filtfilt_fir_sharded(h, x, mesh: Mesh, channel_axis: str = "channel",
     def run(xb):
         if pad == 0:
             return xb * jnp.asarray(g[0], dtype=xb.dtype)
-        left = _halo.halo_from_left(xb, pad, block_axis)
-        right = _halo.halo_from_right(xb, pad, block_axis)
-        ext = jnp.concatenate([left, xb, right], axis=-1)
-        idx = lax.axis_index(block_axis)
-        # symmetric padding at the global edges (reference reflect_pad)
-        refl_l = xb[..., :pad][..., ::-1]
-        t = xb.shape[-1]
-        refl_r = xb[..., t - pad :][..., ::-1]
-        ext = ext.at[..., :pad].set(
-            jnp.where(idx == 0, refl_l, ext[..., :pad]))
-        ext = ext.at[..., -pad:].set(
-            jnp.where(idx == nb - 1, refl_r, ext[..., -pad:]))
+        ext = _edge_fixed_ext(xb, pad, n_total, nb, block_axis, "symmetric")
         # causal conv with g over ext, then shift so the center tap aligns:
         # y[i] = (g * xext)[i + 2*pad] with causal indexing
         y = _fir.fir_apply_mxu(g, ext)
