@@ -30,6 +30,12 @@ def main():
     ap.add_argument("--process-id", type=int, default=None)
     ap.add_argument("--channels", type=int, default=16)
     ap.add_argument("--seconds", type=float, default=10.0)
+    ap.add_argument("--per-device-samples", type=int, default=None,
+                    help="weak scaling: per-device signal length (overrides "
+                         "--seconds; total n = n_devices * this)")
+    ap.add_argument("--json-out", default=None,
+                    help="process 0 writes {n_processes, n_devices, "
+                         "fir_msps, chain_msps} JSON here")
     args = ap.parse_args()
 
     import jax
@@ -57,8 +63,12 @@ def main():
         print(f"{jax.process_count()} processes, {n_dev} devices, "
               f"mesh {dict(mesh.shape)}")
 
-    n = int(48000 * args.seconds)
-    n -= n % (n_dev * 512 * 3)
+    if args.per_device_samples is not None:
+        per = args.per_device_samples - args.per_device_samples % (512 * 3)
+        n = n_dev * per
+    else:
+        n = int(48000 * args.seconds)
+        n -= n % (n_dev * 512 * 3)
     # each process materializes only its addressable shard
     global_shape = (args.channels, n)
     sharding = NamedSharding(mesh, P("channel", "block"))
@@ -79,10 +89,10 @@ def main():
         out = step(x)
     out.block_until_ready()
     dt = (time.perf_counter() - t0) / 5
+    fir_msps = args.channels * n / dt / 1e6
     if jax.process_index() == 0:
-        msps = args.channels * n / dt / 1e6
-        print(f"sharded 1024-tap FIR: {dt*1e3:.2f} ms/step, {msps:.0f} Msps "
-              f"({msps / n_dev:.0f} Msps/device)")
+        print(f"sharded 1024-tap FIR: {dt*1e3:.2f} ms/step, "
+              f"{fir_msps:.0f} Msps ({fir_msps / n_dev:.0f} Msps/device)")
 
     chain = NorthStarChain()
     cstep = jax.jit(lambda v: chain.apply_sharded(v, mesh))
@@ -92,9 +102,19 @@ def main():
         feats = cstep(x)
     feats.block_until_ready()
     dt = (time.perf_counter() - t0) / 3
+    chain_msps = args.channels * n / dt / 1e6
     if jax.process_index() == 0:
         print(f"sharded north-star chain: {dt*1e3:.2f} ms/step -> "
-              f"{args.channels * n / dt / 1e6:.0f} Msps input-rate")
+              f"{chain_msps:.0f} Msps input-rate")
+        if args.json_out:
+            import json
+
+            with open(args.json_out, "w") as f:
+                json.dump({"n_processes": jax.process_count(),
+                           "n_devices": n_dev, "samples": n,
+                           "channels": args.channels,
+                           "fir_msps": fir_msps,
+                           "chain_msps": chain_msps}, f)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,105 @@
+"""Weak-scaling sweep over N coordinator-connected processes (1 CPU device
+each), producing `benchmarks/scaling_report.json` — the committed evidence for
+BASELINE.md's ">= 85% scaling efficiency at N >= 2 hosts" contract.
+
+Weak scaling: per-device signal length is held constant, so ideal scaling is
+throughput(N) = N * throughput(1) and
+efficiency(N) = msps(N) / (N * msps(1)).
+
+Run: python scripts/run_scaling_report.py [--procs 1 2 4 8]
+     [--per-device-samples 196608] [--out benchmarks/scaling_report.json]
+
+Each configuration launches N fresh `launch_multihost.py` processes against a
+local coordinator (jax.distributed over gloo), mirroring one-process-per-host
+TPU pod topology; the sharded ops therefore exercise real cross-process
+collectives, not single-process multi-device shortcuts.
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_config(n_procs: int, per_device: int, channels: int, port: int):
+    out_path = f"/tmp/scaling_{n_procs}.json"
+    if os.path.exists(out_path):
+        os.remove(out_path)
+    # Each simulated host gets exactly ONE core and ONE compute thread, so
+    # per-device resources stay constant as N grows — otherwise a single
+    # multi-threaded XLA-CPU process already saturates the box and weak
+    # scaling measures core contention, not communication overhead.
+    ncores = os.cpu_count() or 1
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                        + " --xla_cpu_multi_thread_eigen=false"
+                        " intra_op_parallelism_threads=1").strip()
+    env["OMP_NUM_THREADS"] = "1"
+    procs = []
+    for pid in range(n_procs):
+        cmd = [sys.executable, os.path.join(REPO, "scripts",
+                                            "launch_multihost.py"),
+               "--coordinator", f"localhost:{port}",
+               "--num-processes", str(n_procs), "--process-id", str(pid),
+               "--per-device-samples", str(per_device),
+               "--channels", str(channels), "--json-out", out_path]
+        if n_procs <= ncores:
+            cmd = ["taskset", "-c", str(pid % ncores)] + cmd
+        procs.append(subprocess.Popen(
+            cmd, cwd=REPO, env=env,
+            stdout=subprocess.PIPE if pid else None,
+            stderr=subprocess.STDOUT if pid else None))
+    rcs = [p.wait(timeout=1200) for p in procs]
+    if any(rcs):
+        raise RuntimeError(f"N={n_procs}: worker exit codes {rcs}")
+    with open(out_path) as f:
+        return json.load(f)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--procs", type=int, nargs="+", default=[1, 2, 4, 8])
+    ap.add_argument("--per-device-samples", type=int, default=196608)
+    ap.add_argument("--channels", type=int, default=16)
+    ap.add_argument("--out", default=os.path.join(REPO, "benchmarks",
+                                                  "scaling_report.json"))
+    args = ap.parse_args()
+
+    rows = []
+    for i, n in enumerate(args.procs):
+        t0 = time.time()
+        r = run_config(n, args.per_device_samples, args.channels, 9876 + i)
+        r["wall_s"] = round(time.time() - t0, 1)
+        rows.append(r)
+        print(f"N={n}: fir {r['fir_msps']:.0f} Msps, "
+              f"chain {r['chain_msps']:.0f} Msps", flush=True)
+
+    base = rows[0]
+    for r in rows:
+        scale = r["n_processes"] / base["n_processes"]
+        r["fir_efficiency"] = r["fir_msps"] / (scale * base["fir_msps"])
+        r["chain_efficiency"] = r["chain_msps"] / (scale * base["chain_msps"])
+
+    report = {
+        "mode": "weak",
+        "backend": "cpu+gloo (one process per simulated host, one device "
+                   "per process)",
+        "per_device_samples": args.per_device_samples,
+        "channels": args.channels,
+        "configs": rows,
+    }
+    with open(args.out, "w") as f:
+        json.dump(report, f, indent=1)
+    print(f"wrote {args.out}")
+    for r in rows:
+        print(f"  N={r['n_processes']}: fir eff "
+              f"{r['fir_efficiency']*100:.0f}%, chain eff "
+              f"{r['chain_efficiency']*100:.0f}%")
+
+
+if __name__ == "__main__":
+    main()
