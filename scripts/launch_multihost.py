@@ -36,11 +36,18 @@ def main():
     ap.add_argument("--json-out", default=None,
                     help="process 0 writes {n_processes, n_devices, "
                          "fir_msps, chain_msps} JSON here")
+    ap.add_argument("--local-only", action="store_true",
+                    help="no distributed init: run the same per-device work "
+                         "on a private 1-device mesh (the no-communication "
+                         "baseline for isolating collective overhead from "
+                         "host resource contention in CPU simulations)")
     args = ap.parse_args()
 
     import jax
 
-    if args.coordinator:
+    if args.local_only:
+        jax.config.update("jax_platforms", "cpu")
+    elif args.coordinator:
         # CPU simulation needs one device per process
         jax.config.update("jax_platforms", "cpu")
         jax.distributed.initialize(args.coordinator, args.num_processes,
@@ -93,6 +100,28 @@ def main():
     if jax.process_index() == 0:
         print(f"sharded 1024-tap FIR: {dt*1e3:.2f} ms/step, "
               f"{fir_msps:.0f} Msps ({fir_msps / n_dev:.0f} Msps/device)")
+
+    if os.environ.get("VV_SCALING_STAGES"):
+        # per-stage timings (diagnosing which stage limits weak scaling)
+        from vv_dsp_tpu.parallel import (resample_poly_sharded,
+                                         stft_process_sharded)
+
+        stages = {
+            "fir": jax.jit(lambda v: fir_apply_sharded(h, v, mesh)),
+            "resample": jax.jit(
+                lambda v: resample_poly_sharded(v, 4, 3, mesh)),
+            "stft": jax.jit(
+                lambda v: stft_process_sharded(v, 2048, 512, mesh)),
+        }
+        for name, fn in stages.items():
+            fn(x).block_until_ready()
+            t0 = time.perf_counter()
+            for _ in range(3):
+                r = fn(x)
+            r.block_until_ready()
+            dt = (time.perf_counter() - t0) / 3
+            if jax.process_index() == 0:
+                print(f"  stage {name}: {dt*1e3:.1f} ms")
 
     chain = NorthStarChain()
     cstep = jax.jit(lambda v: chain.apply_sharded(v, mesh))

@@ -25,10 +25,14 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_config(n_procs: int, per_device: int, channels: int, port: int):
-    out_path = f"/tmp/scaling_{n_procs}.json"
-    if os.path.exists(out_path):
-        os.remove(out_path)
+def run_config(n_procs: int, per_device: int, channels: int, port: int,
+               local_only: bool = False):
+    out_paths = ([f"/tmp/scaling_local_{n_procs}_{p}.json"
+                  for p in range(n_procs)] if local_only
+                 else [f"/tmp/scaling_{n_procs}.json"])
+    for p in out_paths:
+        if os.path.exists(p):
+            os.remove(p)
     # Each simulated host gets exactly ONE core and ONE compute thread, so
     # per-device resources stay constant as N grows — otherwise a single
     # multi-threaded XLA-CPU process already saturates the box and weak
@@ -43,20 +47,35 @@ def run_config(n_procs: int, per_device: int, channels: int, port: int):
     for pid in range(n_procs):
         cmd = [sys.executable, os.path.join(REPO, "scripts",
                                             "launch_multihost.py"),
-               "--coordinator", f"localhost:{port}",
-               "--num-processes", str(n_procs), "--process-id", str(pid),
                "--per-device-samples", str(per_device),
-               "--channels", str(channels), "--json-out", out_path]
+               "--channels", str(channels),
+               "--json-out", out_paths[pid if local_only else 0]]
+        if local_only:
+            cmd += ["--local-only", "--process-id", str(pid)]
+        else:
+            cmd += ["--coordinator", f"localhost:{port}",
+                    "--num-processes", str(n_procs),
+                    "--process-id", str(pid)]
         if n_procs <= ncores:
             cmd = ["taskset", "-c", str(pid % ncores)] + cmd
+        quiet = pid if not local_only else 1
         procs.append(subprocess.Popen(
             cmd, cwd=REPO, env=env,
-            stdout=subprocess.PIPE if pid else None,
-            stderr=subprocess.STDOUT if pid else None))
+            stdout=subprocess.PIPE if quiet else None,
+            stderr=subprocess.STDOUT if quiet else None))
     rcs = [p.wait(timeout=1200) for p in procs]
     if any(rcs):
         raise RuntimeError(f"N={n_procs}: worker exit codes {rcs}")
-    with open(out_path) as f:
+    if local_only:
+        # ideal (no-communication) aggregate: sum of the N independent runs
+        out = {"n_processes": n_procs, "fir_msps": 0.0, "chain_msps": 0.0}
+        for p in out_paths:
+            with open(p) as f:
+                r = json.load(f)
+            out["fir_msps"] += r["fir_msps"]
+            out["chain_msps"] += r["chain_msps"]
+        return out
+    with open(out_paths[0]) as f:
         return json.load(f)
 
 
@@ -74,15 +93,30 @@ def main():
         t0 = time.time()
         r = run_config(n, args.per_device_samples, args.channels, 9876 + i)
         r["wall_s"] = round(time.time() - t0, 1)
+        # No-communication baseline: N INDEPENDENT single-device processes
+        # doing identical per-device work on the same (contended) box. The
+        # ratio sharded/independent isolates what sharding itself costs
+        # (collectives + halo exchange) from what simulating N hosts on one
+        # box costs (shared DRAM/L3 bandwidth) — on a real pod each host has
+        # its own memory system, so comm efficiency is the transferable one.
+        lr = run_config(n, args.per_device_samples, args.channels, 9876 + i,
+                        local_only=True)
+        r["independent_fir_msps"] = lr["fir_msps"]
+        r["independent_chain_msps"] = lr["chain_msps"]
         rows.append(r)
-        print(f"N={n}: fir {r['fir_msps']:.0f} Msps, "
-              f"chain {r['chain_msps']:.0f} Msps", flush=True)
+        print(f"N={n}: fir {r['fir_msps']:.0f} Msps "
+              f"(independent {lr['fir_msps']:.0f}), "
+              f"chain {r['chain_msps']:.0f} Msps "
+              f"(independent {lr['chain_msps']:.0f})", flush=True)
 
     base = rows[0]
     for r in rows:
         scale = r["n_processes"] / base["n_processes"]
         r["fir_efficiency"] = r["fir_msps"] / (scale * base["fir_msps"])
         r["chain_efficiency"] = r["chain_msps"] / (scale * base["chain_msps"])
+        r["fir_comm_efficiency"] = r["fir_msps"] / r["independent_fir_msps"]
+        r["chain_comm_efficiency"] = (r["chain_msps"]
+                                      / r["independent_chain_msps"])
 
     report = {
         "mode": "weak",
@@ -90,6 +124,10 @@ def main():
                    "per process)",
         "per_device_samples": args.per_device_samples,
         "channels": args.channels,
+        "notes": "comm_efficiency = sharded throughput / N independent "
+                 "no-communication processes on the same box; this isolates "
+                 "collective+halo cost from single-box memory contention "
+                 "(absent on a real pod where each host has its own DRAM).",
         "configs": rows,
     }
     with open(args.out, "w") as f:
@@ -97,8 +135,10 @@ def main():
     print(f"wrote {args.out}")
     for r in rows:
         print(f"  N={r['n_processes']}: fir eff "
-              f"{r['fir_efficiency']*100:.0f}%, chain eff "
-              f"{r['chain_efficiency']*100:.0f}%")
+              f"{r['fir_efficiency']*100:.0f}% "
+              f"(comm {r['fir_comm_efficiency']*100:.0f}%), chain eff "
+              f"{r['chain_efficiency']*100:.0f}% "
+              f"(comm {r['chain_comm_efficiency']*100:.0f}%)")
 
 
 if __name__ == "__main__":
