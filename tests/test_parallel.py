@@ -287,3 +287,26 @@ def test_stft_sharded_pad_ragged_length(sig):
     nf = min(want.shape[-2], got.shape[-2])
     np.testing.assert_allclose(got[..., :nf, :], want[..., :nf, :],
                                rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("shape", [(1, 8), (2, 4)])
+def test_northstar_flagship_geometry_sharded(rng, shape):
+    """The FLAGSHIP chain at its real geometry (1024-tap FIR, 4/3 polyphase,
+    2048-pt STFT / 512 hop, 80 mels, 20 MFCCs) run sharded on the 8-device
+    mesh vs the single-device chain — covers halo-larger-than-typical-block
+    interactions the shrunken-dryrun geometry (64 taps / 256 nfft) misses."""
+    from vv_dsp_tpu.models import NorthStarChain
+
+    chain = NorthStarChain()
+    n = 8 * 2048 * 3  # divisible by every block/hop/ratio constraint
+    x = jnp.asarray(rng.standard_normal((2, n)), dtype=jnp.float32)
+    mesh = make_mesh(shape)
+    want = chain(x)
+    got = chain.apply_sharded(x, mesh)
+    # the sharded STFT covers whole blocks, so it may emit a couple of extra
+    # zero-padded tail frames beyond the dense spectrogram's frame count
+    nf = want.shape[-2]
+    assert got.shape[-2] >= nf and got.shape[::2] == want.shape[::2]
+    scale = float(jnp.abs(want).max())
+    np.testing.assert_allclose(got[..., :nf, :], want, rtol=0,
+                               atol=2e-3 * scale)
