@@ -1,0 +1,164 @@
+"""Per-stage roofline accounting for the flagship NorthStarChain on the real
+TPU — VERDICT item: "nobody knows if 366 Msps is 20% or 80% of
+speed-of-light".
+
+For each stage (FIR -> resample -> STFT power -> mel+MFCC) and for the fused
+full chain this measures chained-fori-loop time (the only trustworthy timing
+over the axon tunnel) and compares it against the stage's algorithmic
+speed-of-light: max(min_flops / peak_flops, min_bytes / peak_bw), where
+min_flops/min_bytes are the ALGORITHM's intrinsic work (not the
+implementation's), peak_flops is the MEASURED f32 matmul peak (59 TFLOP/s on
+this v5e through chained timing; the 98 TF spec number is not reachable in
+f32-HIGHEST) and peak_bw the HBM spec.
+
+Writes benchmarks/roofline_northstar.json.
+
+Caveat recorded in the artifact: chained timing through this tunnel has a
+~2.3 ms/iteration floor (even a bare 30 MB elementwise op measures that), so
+stages near that floor report a lower bound on their achieved fraction.
+"""
+
+import json
+import math
+import os
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+import sys
+sys.path.insert(0, REPO)
+
+MEASURED_PEAK_TFLOPS = 59.0   # 4096^3 f32 matmul, chained timing, this chip
+HBM_GBPS = 819.0              # v5e spec
+FLOOR_MS = 2.3                # measured chained-timing per-iter floor
+
+
+def chain_time(step, x, iters=10):
+    @jax.jit
+    def run(v):
+        return lax.fori_loop(0, iters, lambda i, acc: step(v, acc),
+                             jnp.float32(0.0))
+
+    float(run(x))
+    t0 = time.perf_counter()
+    float(run(x))
+    return (time.perf_counter() - t0) / iters
+
+
+def roofline_ms(flops, bytes_):
+    t = max(flops / (MEASURED_PEAK_TFLOPS * 1e12), bytes_ / (HBM_GBPS * 1e9))
+    return t * 1e3, ("compute" if flops / (MEASURED_PEAK_TFLOPS * 1e12)
+                     > bytes_ / (HBM_GBPS * 1e9) else "hbm")
+
+
+def main():
+    from vv_dsp_tpu.models import NorthStarChain
+    from vv_dsp_tpu.ops import mel as _mel
+    from vv_dsp_tpu.ops import pallas_kernels as _pk
+    from vv_dsp_tpu.ops import resample as _rs
+
+    chain = NorthStarChain()
+    ch, n = 16, 479232
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((ch, n)), dtype=jnp.float32)
+
+    n_rs = n * chain.up // chain.down           # 638976
+    frames = 1 + (n_rs - chain.nfft + chain.hop) // chain.hop
+    bins = chain.nfft // 2 + 1
+    taps_pp = -(-(2 * 10 * max(chain.up, chain.down) + 1) // chain.up)
+
+    y1 = jnp.asarray(rng.standard_normal((ch, n)), dtype=jnp.float32)
+    y2 = jnp.asarray(rng.standard_normal((ch, n_rs)), dtype=jnp.float32)
+    pw = jnp.asarray(
+        rng.standard_normal((ch, frames, bins)) ** 2, dtype=jnp.float32)
+
+    # (name, fn(input)->array, input, min_flops, min_bytes)
+    f32 = 4
+    stages = [
+        ("fir_1024", lambda v: _pk.fir_apply_best(chain.fir_coeffs, v), x,
+         2.0 * ch * n * chain.fir_taps, f32 * ch * 2 * n),
+        ("resample_4_3", lambda v: _pk.resample_poly_best(
+            v, chain.up, chain.down), y1,
+         2.0 * ch * n_rs * taps_pp, f32 * ch * (n + n_rs)),
+        ("fir_resample_fused", lambda v: _rs.fir_resample_fused(
+            chain.fir_coeffs, v, chain.up, chain.down), x,
+         # algorithmic min of the pair: FIR flops + polyphase flops, one
+         # read + one write (the fusion's whole point: no intermediate HBM)
+         2.0 * ch * n * chain.fir_taps + 2.0 * ch * n_rs * taps_pp,
+         f32 * ch * (n + n_rs)),
+        ("stft_power_2048", lambda v: chain.stft_plan.power(v), y2,
+         # r2c FFT min flops 2.5 N log2 N per frame + window + |.|^2
+         ch * frames * (2.5 * chain.nfft * math.log2(chain.nfft)
+                        + chain.nfft + 3 * bins),
+         f32 * ch * (n_rs + frames * bins)),
+        ("mel_mfcc", lambda v: _mel.mfcc(
+            v, chain.nfft, chain.n_mels, chain.n_mfcc,
+            chain.sample_rate * chain.up / chain.down), pw,
+         2.0 * ch * frames * (bins * chain.n_mels
+                              + chain.n_mels * chain.n_mfcc),
+         f32 * ch * frames * (bins + chain.n_mfcc)),
+        ("full_chain", chain, x,
+         None, None),  # filled below: sum of stages
+    ]
+    # full-chain minimum counts each math stage once (fused row duplicates
+    # the fir+resample work, so sum the staged rows only)
+    stages[-1] = ("full_chain", chain, x,
+                  sum(s[3] for s in stages[:-1]
+                      if s[0] != "fir_resample_fused"),
+                  f32 * ch * (2 * n + frames * chain.n_mfcc))
+
+    results = []
+    for name, fn, inp, flops, bytes_ in stages:
+        def step(v, acc, fn=fn):
+            out = fn(v + acc * 1e-30)
+            return jnp.real(jnp.ravel(out)[0]).astype(jnp.float32)
+
+        dt = chain_time(step, inp)
+        ms = dt * 1e3
+        sol_ms, bound = roofline_ms(flops, bytes_)
+        results.append({
+            "stage": name,
+            "measured_ms": round(ms, 3),
+            "roofline_ms": round(sol_ms, 4),
+            "bound": bound,
+            "achieved_fraction": round(sol_ms / ms, 4),
+            "min_gflops": round(flops / 1e9, 2),
+            "min_mbytes": round(bytes_ / 1e6, 1),
+            "at_timing_floor": ms < 2 * FLOOR_MS,
+        })
+        print(f"{name:18s} {ms:7.2f} ms  SoL {sol_ms:6.3f} ms ({bound})  "
+              f"achieved {sol_ms/ms*100:5.1f}%"
+              f"{'  [<=timing floor]' if ms < 2 * FLOOR_MS else ''}",
+              flush=True)
+
+    full = next(r for r in results if r["stage"] == "full_chain")
+    msps = ch * n / (full["measured_ms"] / 1e3) / 1e6
+    print(f"chain throughput: {msps:.0f} Msps input-rate")
+
+    artifact = {
+        "device": str(jax.devices()[0]),
+        "channels": ch,
+        "signal_samples": n,
+        "peak_tflops_measured_f32": MEASURED_PEAK_TFLOPS,
+        "hbm_gbps_spec": HBM_GBPS,
+        "timing_floor_ms": FLOOR_MS,
+        "chain_msps": round(msps, 1),
+        "stages": results,
+        "notes": "roofline uses ALGORITHMIC minimum flops/bytes (e.g. "
+                 "2*taps/sample FIR, 2.5*N*log2(N) r2c FFT), not the "
+                 "implementation's (the matmul-form FFT trades more FLOPs "
+                 "for MXU residency); stages at the tunnel timing floor "
+                 "report a lower bound on achieved fraction.",
+    }
+    out = os.path.join(REPO, "benchmarks", "roofline_northstar.json")
+    with open(out, "w") as f:
+        json.dump(artifact, f, indent=1)
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()

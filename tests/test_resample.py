@@ -200,3 +200,33 @@ def test_resample_poly_mxu_batched_3d(rng):
     want = sig.resample_poly(x.astype(np.float64), 4, 3, axis=-1)
     assert got.shape == want.shape
     np.testing.assert_allclose(got, want, atol=5e-5)
+
+
+@pytest.mark.parametrize("up,down,taps,n", [(4, 3, 1024, 48000),
+                                            (2, 1, 64, 1000),
+                                            (1, 2, 127, 4097),
+                                            (160, 147, 64, 14700),
+                                            (3, 4, 33, 999)])
+def test_fir_resample_fused_matches_staged(rng, up, down, taps, n):
+    """The one-matmul fused head must be sample-identical to
+    resample_poly(fir_apply(h, x)) — including the staged FIR's
+    end-of-signal truncation semantics."""
+    from vv_dsp_tpu.ops import fir as vfir
+    x = rng.standard_normal((3, n)).astype(np.float32)
+    h = vfir.design_lowpass_np(taps, 0.4).astype(np.float32)
+    staged = np.asarray(
+        vrs.resample_poly(vfir.fir_apply(h, jnp.asarray(x)), up, down))
+    fused = np.asarray(vrs.fir_resample_fused(h, jnp.asarray(x), up, down))
+    assert staged.shape == fused.shape
+    scale = max(1.0, np.abs(staged).max())
+    assert np.abs(staged - fused).max() / scale < 5e-5
+
+
+def test_fir_resample_fused_identity_rate(rng):
+    """up == down reduces to plain FIR filtering."""
+    from vv_dsp_tpu.ops import fir as vfir
+    x = rng.standard_normal((2, 2048)).astype(np.float32)
+    h = vfir.design_lowpass_np(65, 0.3).astype(np.float32)
+    fused = np.asarray(vrs.fir_resample_fused(h, jnp.asarray(x), 3, 3))
+    want = np.asarray(vfir.fir_apply(h, jnp.asarray(x)))
+    np.testing.assert_allclose(fused, want, atol=2e-5)

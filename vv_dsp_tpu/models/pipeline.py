@@ -40,10 +40,18 @@ class NorthStarChain:
     n_mfcc: int = 20
     sample_rate: float = 48000.0
     window: str = "hann"
+    #: fuse FIR+resample into ONE banded-matrix MXU pass (sample-exact vs
+    #: the staged pair; erases the intermediate HBM round trip)
+    fused_head: bool = True
 
     @functools.cached_property
-    def fir_coeffs(self) -> jnp.ndarray:
-        return _fir.design_lowpass(self.fir_taps, self.fir_cutoff)
+    def fir_coeffs(self):
+        # host-side numpy f32: a first touch inside a jit trace must not
+        # cache a Tracer (jnp.asarray yields one there), and every FIR path
+        # accepts numpy taps
+        import numpy as np
+        return _fir.design_lowpass_np(self.fir_taps, self.fir_cutoff
+                                      ).astype(np.float32)
 
     @functools.cached_property
     def stft_plan(self) -> STFT:
@@ -52,8 +60,12 @@ class NorthStarChain:
     def __call__(self, x):
         """x: (channels, n) -> (channels, frames, n_mfcc)."""
         from vv_dsp_tpu.ops import pallas_kernels as _pk
-        y = _pk.fir_apply_best(self.fir_coeffs, x)
-        y = _pk.resample_poly_best(y, self.up, self.down)
+        if self.fused_head:
+            from vv_dsp_tpu.ops.resample import fir_resample_fused
+            y = fir_resample_fused(self.fir_coeffs, x, self.up, self.down)
+        else:
+            y = _pk.fir_apply_best(self.fir_coeffs, x)
+            y = _pk.resample_poly_best(y, self.up, self.down)
         power = self.stft_plan.power(y)  # fused |rfft|^2, no complex HBM trip
         return _mel.mfcc(power, self.nfft, self.n_mels, self.n_mfcc,
                          self.sample_rate * self.up / self.down)

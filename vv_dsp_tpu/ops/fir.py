@@ -34,12 +34,11 @@ from vv_dsp_tpu.ops.fft import next_pow2
 from vv_dsp_tpu.ops.window import get_window_np
 
 
-def design_lowpass(num_taps: int, cutoff: float, window: str = "hamming",
-                   dtype=None) -> jnp.ndarray:
-    """Windowed-sinc lowpass (vv_dsp_fir_design_lowpass, src/filter/fir.c:47-73).
-
-    cutoff in (0, 1), same normalization as the reference (h sums to ~1 at DC).
-    """
+def design_lowpass_np(num_taps: int, cutoff: float,
+                      window: str = "hamming") -> np.ndarray:
+    """Host-side (float64 numpy) windowed-sinc design — safe to call and
+    cache from anywhere, including inside a jit trace (jnp.asarray would
+    yield a Tracer there)."""
     if num_taps <= 0:
         raise ValueError("num_taps must be positive")
     if not (0.0 < cutoff < 1.0):
@@ -48,8 +47,17 @@ def design_lowpass(num_taps: int, cutoff: float, window: str = "hamming",
     alpha = (num_taps - 1) / 2.0
     m = n - alpha
     h = 2.0 * cutoff * np.sinc(2.0 * cutoff * m)  # np.sinc is sin(pi x)/(pi x)
-    h = h * get_window_np(window, num_taps)
-    return jnp.asarray(h, dtype=config.real_dtype(dtype))
+    return h * get_window_np(window, num_taps)
+
+
+def design_lowpass(num_taps: int, cutoff: float, window: str = "hamming",
+                   dtype=None) -> jnp.ndarray:
+    """Windowed-sinc lowpass (vv_dsp_fir_design_lowpass, src/filter/fir.c:47-73).
+
+    cutoff in (0, 1), same normalization as the reference (h sums to ~1 at DC).
+    """
+    return jnp.asarray(design_lowpass_np(num_taps, cutoff, window),
+                       dtype=config.real_dtype(dtype))
 
 
 def _causal_conv(x, h):

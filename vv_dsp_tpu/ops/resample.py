@@ -338,6 +338,128 @@ def upfirdn_mxu(h, x, up: int = 1, down: int = 1):
 
 
 # ---------------------------------------------------------------------------
+# tall-frames upfirdn & fused FIR+resample — ONE MXU pass for the chain head
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=32)
+def _upfirdn_tall_plan(h_key, up: int, down: int, offset: int, group: int):
+    """Block-banded weight matrix for frames of `group*up` outputs.
+
+    Generalizes _upfirdn_conv_plan from one phase-group per step to `group`
+    groups per frame: outputs j in [0, group*up) of frame k read inputs
+    x[k*group*down + c] for c in [c_lo, c_hi], weight
+    M[c - c_lo, j] = h[phase_j + i*up] at c = anchor_j - i. With
+    group*down ~ taps_pp the matrix is mostly dense, so the whole upfirdn is
+    ONE (frames, Win) @ (Win, group*up) matmul — the same trick as
+    fir_apply_mxu's block-Toeplitz form, at any rational rate.
+    Returns (M (Win, group*up) float64, c_lo).
+    """
+    h = np.asarray(h_key, dtype=np.float64)
+    h_pad = np.zeros((-(-len(h) // up)) * up, dtype=np.float64)
+    h_pad[: len(h)] = h
+    taps_pp = len(h_pad) // up
+    gpp = h_pad.reshape(taps_pp, up)  # gpp[i, r] = h[r + i*up]
+    j = np.arange(group * up)
+    t = offset + j * down
+    anchor = t // up
+    phase = t % up
+    c_lo = int(anchor[0]) - (taps_pp - 1)
+    wd = int(anchor[-1]) - c_lo + 1
+    M = np.zeros((wd, group * up), dtype=np.float64)
+    i = np.arange(taps_pp)
+    for jj in range(group * up):
+        M[anchor[jj] - c_lo - i, jj] = gpp[i, phase[jj]]
+    return M, c_lo
+
+
+def _upfirdn_tall(h, x, up: int, down: int, offset: int, n_out: int,
+                  group: int):
+    """upfirdn evaluated `group*up` outputs per frame via one einsum (see
+    _upfirdn_tall_plan). Sample-identical to _upfirdn_gather."""
+    M, c_lo = _upfirdn_tall_plan(tuple(np.asarray(h, np.float64)), up, down,
+                                 offset, group)
+    wd, U = M.shape
+    stride = group * down
+    n_in = x.shape[-1]
+    k_frames = -(-n_out // U)
+    q = -(-wd // stride)
+    width = q * stride
+    Mp = np.zeros((width, U))
+    Mp[:wd] = M
+    pad_l = max(0, -c_lo)
+    base = c_lo + pad_l
+    pad_r = max(0, base + (k_frames + q - 1) * stride - (n_in + pad_l))
+    lead = x.shape[:-1]
+    xp = jnp.pad(x, [(0, 0)] * len(lead) + [(pad_l, pad_r)])
+    views = [
+        xp[..., base + r * stride: base + (k_frames + r) * stride]
+        .reshape(lead + (k_frames, stride))
+        for r in range(q)
+    ]
+    frames = jnp.concatenate(views, axis=-1)
+    Mj = jnp.asarray(Mp.astype(np.dtype(x.dtype)))
+    y = jnp.einsum("...kw,wp->...kp", frames, Mj,
+                   precision=config.MATMUL_PRECISION)
+    return y.reshape(lead + (k_frames * U,))[..., :n_out]
+
+
+@functools.lru_cache(maxsize=16)
+def _fused_fir_resample_filter(fir_key, up: int, down: int):
+    """Composite filter g = conv(zero-stuff_up(h_fir), h_resample): filtering
+    at the input rate then polyphase-resampling equals ONE upfirdn with g
+    (out[t] = sum_i x[i] g[t - up*i]). Returns (g float64, offset)."""
+    h_f = np.asarray(fir_key, dtype=np.float64)
+    h_r = _resample_poly_filter(up, down)
+    up_f = np.zeros((len(h_f) - 1) * up + 1, dtype=np.float64)
+    up_f[::up] = h_f
+    return np.convolve(up_f, h_r), (len(h_r) - 1) // 2
+
+
+def fir_resample_fused(h_fir, x, up: int, down: int,
+                       group: int | None = None):
+    """resample_poly(fir_apply(h_fir, x), up, down) in ONE MXU pass —
+    sample-exact vs the staged pair, including the staged FIR's end-of-signal
+    truncation (the composite filter "sees" the FIR tail past n that
+    fir_apply truncates, so the last few outputs are recomputed staged).
+
+    This erases the intermediate HBM round trip AND both stages' separate
+    launch/layout overheads — the north-star chain's head becomes one
+    matmul. FLOP overhead vs the algorithmic minimum is Win/taps_pp ~ 1.5x
+    at the default group.
+    """
+    g = math.gcd(up, down)
+    up //= g
+    down //= g
+    h_np = np.asarray(h_fir, dtype=np.float64)
+    if up == 1 and down == 1:
+        from vv_dsp_tpu.ops.fir import fir_apply_mxu
+        return fir_apply_mxu(h_np, x)
+    n_in = x.shape[-1]
+    n_out = -(-n_in * up // down)
+    gf, offset = _fused_fir_resample_filter(tuple(h_np), up, down)
+    taps_pp = -(-len(gf) // up)
+    if group is None:
+        # frame stride ~ taps_pp/2 keeps the banded matrix ~2/3 dense
+        group = max(1, int(round(taps_pp / (2 * down))))
+    y = _upfirdn_tall(gf, x, up, down, offset, n_out, group)
+
+    # exact staged tail: first output whose window crosses the FIR tail
+    m0 = -(-(up * n_in - offset) // down)
+    if m0 < n_out:
+        h_r = _resample_poly_filter(up, down)
+        taps_r = -(-len(h_r) // up)
+        jlo = (offset + m0 * down) // up - taps_r + 1
+        taps_f = len(h_np)
+        s0 = max(0, jlo - taps_f + 1)
+        from vv_dsp_tpu.ops.fir import fir_apply
+        y_t = fir_apply(h_np.astype(np.dtype(x.dtype)), x[..., s0:])
+        off2 = offset + m0 * down - up * s0
+        tail = _upfirdn_gather(h_r, y_t, up, down, off2, n_out - m0)
+        y = jnp.concatenate([y[..., :m0], tail], axis=-1)
+    return y
+
+
+# ---------------------------------------------------------------------------
 # multistage rational resampling — for large L/M ratios
 # ---------------------------------------------------------------------------
 
