@@ -33,6 +33,16 @@ def main():
     from vv_dsp_tpu.models import NorthStarChain, SpectralGate
     from vv_dsp_tpu.utils.profiling import chain_benchmark, detect_chip
 
+    def _use(out):
+        # consume the FULL output: slicing one element lets XLA's simplifier
+        # slice backward through dots and skip most of the work (measured:
+        # a "60 TFLOPS" dense pair that really runs at 21)
+        return jnp.sum(out).astype(jnp.float32) * 1e-30
+
+    def _use_c(out):
+        return (jnp.sum(jnp.real(out)) + jnp.sum(jnp.imag(out))
+                ).astype(jnp.float32) * 1e-30
+
     rng = np.random.default_rng(0)
     channels, fs = 16, 48000.0
     n = 479232  # 10 s @ 48 kHz rounded to a 3*512 multiple for the chain
@@ -50,8 +60,8 @@ def main():
         plan = STFT(nfft, nfft // 4)
         record(chain_benchmark(
             f"stft_{nfft}_c2c",
-            lambda v, acc, plan=plan: jnp.real(
-                plan.process(v + acc * 1e-30)[0, 0, 0]),
+            lambda v, acc, plan=plan: _use_c(
+                plan.process(v + acc * 1e-30)),
             x, n_samples=total, sample_rate=fs))
 
     # --- STFT roundtrip (dump_stft_roundtrip path) ---
@@ -59,7 +69,7 @@ def main():
 
     def rt(v, acc):
         spec = plan.process(v + acc * 1e-30, rfft=True)
-        return plan.reconstruct(spec, n, rfft=True)[0, 0]
+        return _use(plan.reconstruct(spec, n, rfft=True))
 
     record(chain_benchmark("stft_1024_roundtrip", rt, x, n_samples=total,
                            sample_rate=fs))
@@ -70,7 +80,7 @@ def main():
         h = fir.design_lowpass(taps, 0.3)
         record(chain_benchmark(
             f"fir_{taps}_best",
-            lambda v, acc, h=h: pk.fir_apply_best(h, v + acc * 1e-30)[0, 0],
+            lambda v, acc, h=h: _use(pk.fir_apply_best(h, v + acc * 1e-30)),
             x, n_samples=total, sample_rate=fs))
 
     # --- resampling (bench_resample_fixed.c ratios) ---
@@ -80,20 +90,20 @@ def main():
         xv = x[..., :n2]
         record(chain_benchmark(
             f"resample_poly_{up}_{down}",
-            lambda v, acc, up=up, down=down: pk.resample_poly_best(
-                v + acc * 1e-30, up, down)[0, 0],
+            lambda v, acc, up=up, down=down: _use(pk.resample_poly_best(
+                v + acc * 1e-30, up, down)),
             xv, n_samples=channels * n2, sample_rate=fs))
 
     # --- end-to-end pipelines (bench_pipeline.c analog + north star) ---
     gate = SpectralGate()
     record(chain_benchmark(
         "pipeline_spectral_gate",
-        lambda v, acc: gate(v + acc * 1e-30)[0, 0], x, n_samples=total,
+        lambda v, acc: _use(gate(v + acc * 1e-30)), x, n_samples=total,
         sample_rate=fs))
     chain = NorthStarChain()
     record(chain_benchmark(
         "pipeline_north_star",
-        lambda v, acc: chain(v + acc * 1e-30)[0, 0, 0], x, n_samples=total,
+        lambda v, acc: _use(chain(v + acc * 1e-30)), x, n_samples=total,
         sample_rate=fs))
 
     profile = {
