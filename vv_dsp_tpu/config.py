@@ -25,10 +25,11 @@ DEFAULT_COMPLEX_DTYPE = jnp.complex64
 # polyphase, matmul-DFT). HIGHEST on TPU = f32-accurate multi-pass bf16,
 # which is what the SciPy-parity tolerances need. Switchable at runtime —
 # the TPU analog of the reference's float/double precision build option
-# (VV_DSP_USE_DOUBLE, vv_dsp_types.h): lower tiers trade accuracy (~1e-2
-# relative at "default") for MXU throughput on compute-bound matmuls. NB:
-# most ops here are HBM-bound after the framing rewrites, so measure before
-# assuming a win (STFT-1024 showed none on v5e).
+# (VV_DSP_USE_DOUBLE, vv_dsp_types.h): lower tiers trade accuracy for MXU
+# throughput on compute-bound matmuls. Measured curve (error vs f64 oracle
+# and Msps per tier/surface): docs/PERFORMANCE.md +
+# benchmarks/accuracy_tradeoff.json. Summary: "default" = ~1.5e-3 rel err
+# for 1.2-1.8x; avoid "high" (XLA slow path for the FIR-MXU form on v5e).
 MATMUL_PRECISION = lax.Precision.HIGHEST
 
 _PRECISIONS = {

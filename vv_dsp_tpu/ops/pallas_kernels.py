@@ -288,6 +288,103 @@ def resample_poly_pallas(x, up: int, down: int, q_tile: int = 512,
 
 
 # ---------------------------------------------------------------------------
+# fused STFT power
+# ---------------------------------------------------------------------------
+
+def _stft_power_kernel(x_hbm, bre_ref, bim_ref, y_ref, x_vmem, sem, *,
+                       q, hop, tk, bt, rows):
+    """One (channel, bin-tile, frame-tile) step: DMA `rows` hop-blocks of
+    the signal, then accumulate q shifted (tk, hop) @ (hop, BT) dots for the
+    re and im parts and write |.|^2. Frames never exist in HBM OR VMEM —
+    frame k's window is rows k..k+q-1 of the hop-blocked signal."""
+    c = pl.program_id(0)
+    f = pl.program_id(2)
+    dma = pltpu.make_async_copy(
+        x_hbm.at[c, pl.ds(f * tk, rows), :], x_vmem, sem)
+    dma.start()
+    dma.wait()
+    acc_re = jnp.zeros((tk, bt), jnp.float32)
+    acc_im = jnp.zeros((tk, bt), jnp.float32)
+    for r in range(q):
+        seg = x_vmem[r: r + tk, :]
+        acc_re = acc_re + jnp.dot(
+            seg, bre_ref[r * hop: (r + 1) * hop, :],
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+        acc_im = acc_im + jnp.dot(
+            seg, bim_ref[r * hop: (r + 1) * hop, :],
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+    y_ref[0, :, :] = acc_re * acc_re + acc_im * acc_im
+
+
+def stft_power_pallas(x, nfft: int, hop: int, window: str = "hann",
+                      window_param=None, n_frames: int | None = None,
+                      interpret: bool | None = None):
+    """|rfft(w * frame)|^2 spectrogram in ONE fused kernel: the window is
+    folded into the r2c basis, the signal is viewed as hop-blocks, and each
+    (frame-tile, bin-tile) is a chain of q = nfft/hop MXU dots accumulated
+    in VMEM — no frames array, no complex spectrum, one read of x per bin
+    tile and one write of the power.
+
+    x: (channels, n) f32; requires hop | nfft and 128 | hop. Numerically
+    identical to STFT(nfft, hop, window).power (asserted in tests).
+    """
+    from vv_dsp_tpu.ops.stft import _windowed_rfft_basis
+
+    if interpret is None:
+        interpret = not _on_tpu()
+    if nfft % hop or hop % 128:
+        raise ValueError("stft_power_pallas needs hop | nfft and 128 | hop")
+    c, n = x.shape
+    q = nfft // hop
+    bins = nfft // 2 + 1
+    if n_frames is None:
+        n_frames = 1 if n < nfft else 1 + (n - nfft + hop) // hop
+    bre, bim = _windowed_rfft_basis(nfft, window, window_param,
+                                    np.dtype(x.dtype).name)
+    # pad bins to the lane quantum; extra columns are zero -> zero power
+    # (bt sized so the two double-buffered (nfft, bt) basis blocks + the
+    # dot stack fit the 16 MB scoped-vmem budget)
+    bt = 128 if nfft > 2048 else 256
+    bins_p = _round_up(bins, bt)
+    bz = np.zeros((nfft, bins_p - bins), dtype=bre.dtype)
+    breh = jnp.asarray(np.concatenate([bre, bz], 1))
+    bimh = jnp.asarray(np.concatenate([bim, bz], 1))
+
+    tk = min(256, _round_up(n_frames, 8))
+    nf_p = _round_up(n_frames, tk)
+    rows = _round_up(tk + q - 1, 8)
+    # hop-blocked signal covering every DMA window: (c, nb, hop)
+    nb = nf_p - tk + rows
+    xp = jnp.pad(x, ((0, 0), (0, nb * hop - n)))
+    xb = xp.reshape(c, nb, hop)
+
+    kernel = functools.partial(_stft_power_kernel, q=q, hop=hop, tk=tk,
+                               bt=bt, rows=rows)
+    y = pl.pallas_call(
+        kernel,
+        grid=(c, bins_p // bt, nf_p // tk),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((nfft, bt), lambda c, b, f: (0, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nfft, bt), lambda c, b, f: (0, b),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tk, bt), lambda c, b, f: (c, f, b),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((c, nf_p, bins_p), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((rows, hop), x.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(xb, breh, bimh)
+    return y[:, :n_frames, :bins]
+
+
+# ---------------------------------------------------------------------------
 # best-path dispatch
 # ---------------------------------------------------------------------------
 
