@@ -93,7 +93,10 @@ def test_four_step_factors():
     vfft.set_fft_backend("matmul")
     try:
         assert vfft._fft_tier(8192, "r2c") == "four_step"
-        assert vfft._fft_tier(4096, "r2c") == "dense"
+        assert vfft._fft_tier(2048, "r2c") == "dense"
+        # 4096 r2c moved to four-step in round 2 (measured 13.5 -> 8.3 ms
+        # on the 4096-pt STFT frame batch)
+        assert vfft._fft_tier(4096, "r2c") == "four_step"
         assert vfft._fft_tier(4096, "c2c") == "four_step"
         assert vfft._fft_tier(65537, "c2c") == "xla"
         assert vfft._fft_tier(1 << 25, "c2c") == "xla"

@@ -94,14 +94,15 @@ def _fft_tier(n: int, kind: str) -> str:
     """Kernel tier for an n-point transform: 'dense' (one matmul vs the full
     DFT basis), 'four_step' (factorized matmul DFT), or 'xla' (FFT HLO).
 
-    Measured v5e crossovers (round-1/2 chained timing): dense wins below
-    ~4096 (r2c/c2r) / ~2048 (c2c) — the full c2c basis has 2x the columns so
-    its O(N^2) term catches the HLO one octave lower; four-step wins
-    everywhere above that, up to its factor cap.
+    Measured v5e crossovers (round-2 chained timing, full-output
+    consumption): dense wins up to 2048 for every kind (at 2048 r2c the
+    dense pair beats four-step 7.9 vs 9.1 ms); at 4096 the factorized form
+    wins decisively (13.5 -> 8.3 ms on the 4096-pt STFT sweep frame batch)
+    and keeps winning above, up to its factor cap.
     """
     if _BACKEND == "xla":
         return "xla"
-    cap = _MATMUL_MAX_N if kind in ("r2c", "c2r") else _MATMUL_MAX_N // 2
+    cap = _MATMUL_MAX_N // 2
     if _BACKEND != "matmul" and jax.default_backend() != "tpu":
         return "xla"
     if n <= cap:
