@@ -114,8 +114,12 @@ def main():
     results = []
     for name, fn, inp, flops, bytes_ in stages:
         def step(v, acc, fn=fn):
+            # consume the FULL output: sliced consumption lets XLA's
+            # simplifier skip work back through the dots (see PERFORMANCE.md)
             out = fn(v + acc * 1e-30)
-            return jnp.real(jnp.ravel(out)[0]).astype(jnp.float32)
+            return (jnp.sum(jnp.real(out)) + (jnp.sum(jnp.imag(out))
+                    if jnp.iscomplexobj(out) else 0.0)
+                    ).astype(jnp.float32) * 1e-30
 
         dt = chain_time(step, inp)
         ms = dt * 1e3

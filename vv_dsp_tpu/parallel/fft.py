@@ -41,6 +41,11 @@ def _block_dft(xb, nb: int, axis_name: str, sign: float):
     Each shard s forms its weighted copies W^{sign*s*k1} * xb for every
     target k1, and the reduce-scatter sums them so shard k1 receives
     sum_s W^{sign*s*k1} x_s — the length-nb DFT across shards."""
+    if nb == 1:
+        # single-member axis: the cross-shard DFT is the identity, and a
+        # degenerate 1-group c64 reduce-scatter fails X64 rewriting on some
+        # TPU compilers — skip the collective entirely
+        return xb
     s = lax.axis_index(axis_name)
     ang = (sign * 2.0 * jnp.pi / nb) * s.astype(jnp.float32)
     outs = []
