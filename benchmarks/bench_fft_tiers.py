@@ -21,8 +21,11 @@ def bench(kind, n, tier):
     else:
         fn = {"r2c": lambda v: jnp.fft.rfft(v), "c2c": lambda v: jnp.fft.fft(v)}[kind]
     def step(v, acc):
+        # full-output consumption: sliced consumption lets XLA slice back
+        # through the dense/four-step dots and skip work (PERFORMANCE.md)
         s = fn(v + acc * 1e-30)
-        return jnp.real(s[0, 0])
+        return (jnp.sum(jnp.real(s)) + jnp.sum(jnp.imag(s))
+                ).astype(jnp.float32) * 1e-30
     try:
         r = chain_benchmark(f"{kind}_{n}_{tier}", step, x, n_samples=TOTAL, iters=8)
     except Exception as e:

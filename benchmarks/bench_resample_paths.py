@@ -11,8 +11,8 @@ x = jnp.asarray(rng.standard_normal((C, N)), dtype=jnp.float32)
 
 def bench(name, fn):
     def step(v, acc):
-        y = fn(v + acc * 1e-30)
-        return y[0, 0]
+        # full-output consumption (see PERFORMANCE.md measurement rules)
+        return jnp.sum(fn(v + acc * 1e-30)).astype(jnp.float32) * 1e-30
     try:
         r = chain_benchmark(name, step, x, n_samples=C * N, iters=8)
         print(f"{name:>28}: {r.elapsed_ms:8.2f} ms  {r.samples_per_sec/1e6:8.0f} Msps", flush=True)

@@ -59,9 +59,11 @@ def run_config(n_procs: int, per_device: int, channels: int, port: int,
         if n_procs <= ncores:
             cmd = ["taskset", "-c", str(pid % ncores)] + cmd
         quiet = pid if not local_only else 1
+        # route quiet workers to DEVNULL, not PIPE — an unread PIPE
+        # deadlocks once a worker's warning spew fills the OS pipe buffer
         procs.append(subprocess.Popen(
             cmd, cwd=REPO, env=env,
-            stdout=subprocess.PIPE if quiet else None,
+            stdout=subprocess.DEVNULL if quiet else None,
             stderr=subprocess.STDOUT if quiet else None))
     rcs = [p.wait(timeout=1200) for p in procs]
     if any(rcs):

@@ -99,6 +99,9 @@ def test_four_step_factors():
         assert vfft._fft_tier(4096, "r2c") == "four_step"
         assert vfft._fft_tier(4096, "c2c") == "four_step"
         assert vfft._fft_tier(65537, "c2c") == "xla"
+        # prime r2c in (2048, 4096]: no factorization, but dense still
+        # beats the HLO — must NOT regress to xla
+        assert vfft._fft_tier(4093, "r2c") == "dense"
         assert vfft._fft_tier(1 << 25, "c2c") == "xla"
     finally:
         vfft.set_fft_backend("auto")

@@ -310,3 +310,17 @@ def test_northstar_flagship_geometry_sharded(rng, shape):
     scale = float(jnp.abs(want).max())
     np.testing.assert_allclose(got[..., :nf, :], want, rtol=0,
                                atol=2e-3 * scale)
+
+
+def test_savgol_sharded_halo_equals_block(sig):
+    """halo == per-shard block in 'reflect' mode: reflecting position -t
+    needs x[t] from the NEIGHBOR shard, so this must route to the gather
+    path (the fast path's slice is one element short there)."""
+    from vv_dsp_tpu.ops import savgol
+    mesh = make_mesh((1, 8))
+    x = sig[..., :1024]  # t = 128 per shard
+    wl = 257             # half = 128 == t
+    want = savgol.savgol_filter(x, wl, 3)
+    got = parallel.ops.savgol_filter_sharded(x, wl, 3, mesh)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-3,
+                               atol=1e-3)

@@ -230,3 +230,20 @@ def test_fir_resample_fused_identity_rate(rng):
     fused = np.asarray(vrs.fir_resample_fused(h, jnp.asarray(x), 3, 3))
     want = np.asarray(vfir.fir_apply(h, jnp.asarray(x)))
     np.testing.assert_allclose(fused, want, atol=2e-5)
+
+
+@pytest.mark.parametrize("up,down,n", [(4, 3, 8), (1, 2, 30), (2, 1, 5),
+                                       (3, 4, 40)])
+def test_fir_resample_fused_short_signal(rng, up, down, n):
+    """Signals shorter than the resample filter's half-length: every output
+    window crosses the FIR tail, so m0 clamps to 0 and the whole result is
+    the staged computation (regression: m0 < 0 sliced y from the END,
+    returning wrong-length garbage)."""
+    from vv_dsp_tpu.ops import fir as vfir
+    x = rng.standard_normal((2, n)).astype(np.float32)
+    h = vfir.design_lowpass_np(9, 0.4).astype(np.float32)
+    staged = np.asarray(
+        vrs.resample_poly(vfir.fir_apply(h, jnp.asarray(x)), up, down))
+    fused = np.asarray(vrs.fir_resample_fused(h, jnp.asarray(x), up, down))
+    assert staged.shape == fused.shape
+    np.testing.assert_allclose(fused, staged, atol=1e-5)
