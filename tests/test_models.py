@@ -183,3 +183,37 @@ def test_streaming_chain_flush_completes_offline_parity(rng):
         streamed.shape, offline.shape, lat)
     np.testing.assert_allclose(np.asarray(streamed[..., warm:, :]),
                                np.asarray(offline), rtol=2e-3, atol=2e-3)
+
+
+def test_northstar_fused_head_matches_staged(rng):
+    """The default fused FIR+resample head must match the staged chain
+    end-to-end (tight tolerance: the heads are sample-exact, so only the
+    downstream f32 matmul noise differs)."""
+    import dataclasses
+    x = jnp.asarray(rng.standard_normal((3, 48000)).astype(np.float32))
+    fused = NorthStarChain()
+    staged = dataclasses.replace(fused, fused_head=False)
+    a = np.asarray(fused(x))
+    b = np.asarray(staged(x))
+    assert a.shape == b.shape
+    assert np.abs(a - b).max() / np.abs(b).max() < 1e-4
+
+
+def test_fused_head_random_geometries(rng):
+    """Randomized geometry sweep of the fused head vs the staged pair —
+    ratios, tap counts, signal lengths (incl. shorter than the composite
+    filter) drawn per seed."""
+    from vv_dsp_tpu.ops import fir as _f
+    from vv_dsp_tpu.ops import resample as _r
+    for _ in range(12):
+        up = int(rng.integers(1, 9))
+        down = int(rng.integers(1, 9))
+        taps = int(rng.integers(2, 200))
+        n = int(rng.integers(4, 3000))
+        x = jnp.asarray(rng.standard_normal((2, n)).astype(np.float32))
+        h = _f.design_lowpass_np(taps, 0.37).astype(np.float32)
+        staged = np.asarray(_r.resample_poly(_f.fir_apply(h, x), up, down))
+        fused = np.asarray(_r.fir_resample_fused(h, x, up, down))
+        assert staged.shape == fused.shape, (up, down, taps, n)
+        scale = max(1.0, np.abs(staged).max())
+        assert np.abs(staged - fused).max() / scale < 5e-5, (up, down, taps, n)
