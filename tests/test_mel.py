@@ -3,6 +3,7 @@ import jax.numpy as jnp
 import pytest
 
 from vv_dsp_tpu.ops import mel as vmel
+mel = vmel
 from vv_dsp_tpu.ops.stft import power_spectrogram_onesided
 
 
@@ -97,3 +98,17 @@ def test_lifter_weights():
     i = np.arange(1, 13)
     np.testing.assert_allclose(w[1:], 1 + 11.0 * np.sin(np.pi * i / 22.0))
     assert w[0] == 1.0
+
+
+def test_mfcc_from_power_parts_matches_mfcc(rng):
+    """The fused (re,im)->mel path (power never materialized) must equal
+    mfcc(re^2+im^2, ...) exactly."""
+    from vv_dsp_tpu.ops.stft import STFT
+    x = jnp.asarray(rng.standard_normal((3, 20000)).astype(np.float32))
+    plan = STFT(1024, 256)
+    re, im = plan.power_parts(x)
+    a = np.asarray(mel.mfcc_from_power_parts(re, im, 1024, 26, 13, 16000.0,
+                                             lifter=22.0))
+    b = np.asarray(mel.mfcc(plan.power(x), 1024, 26, 13, 16000.0,
+                            lifter=22.0))
+    assert np.abs(a - b).max() / np.abs(b).max() < 1e-5

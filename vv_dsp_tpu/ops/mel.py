@@ -112,6 +112,32 @@ def log_mel_spectrogram(power_spec, n_fft: int, n_mels: int, sample_rate: float,
     return jnp.log(mel_e + log_epsilon)
 
 
+def mfcc_from_power_parts(re, im, n_fft: int, n_mels: int, n_coeffs: int,
+                          sample_rate: float, fmin: float = 0.0,
+                          fmax: float | None = None,
+                          log_epsilon: float = 1e-10, lifter: float = 0.0,
+                          variant: str = "htk"):
+    """MFCC straight from the (re, im) rfft parts (STFT.power_parts).
+
+    The mel projection is linear in the power, so
+    mel_e = (re*re) @ fb.T + (im*im) @ fb.T — the (frames, bins) power
+    array never materializes in HBM (it is ~13x larger than the mel
+    energies), and the squares fuse into the matmul operand reads. Matches
+    mfcc(re*re + im*im, ...) exactly."""
+    if fmax is None:
+        fmax = sample_rate / 2.0
+    fb = jnp.asarray(
+        mel_filterbank_np(n_fft, n_mels, float(sample_rate), float(fmin),
+                          float(fmax), variant),
+        dtype=re.dtype,
+    )
+    mel_e = (jnp.einsum("...fb,mb->...fm", re * re, fb,
+                        precision=config.MATMUL_PRECISION)
+             + jnp.einsum("...fb,mb->...fm", im * im, fb,
+                          precision=config.MATMUL_PRECISION))
+    return mfcc_from_log_mel(jnp.log(mel_e + log_epsilon), n_coeffs, lifter)
+
+
 def _lifter_np(n_coeffs: int, lifter: float) -> np.ndarray:
     w = np.ones(n_coeffs, dtype=np.float64)
     if lifter > 0:

@@ -114,12 +114,30 @@ class STFT:
 
     def _power_direct(self, x, nf: int):
         """Framing-free power spectrogram for hop | nfft on the dense matmul
-        tier: frame k spans x[k*hop : k*hop+nfft], so splitting the windowed
-        basis into q = nfft/hop row blocks gives
+        tier (see power_parts): |X|^2 = re^2 + im^2."""
+        re, im = self.power_parts(x, nf)
+        return re * re + im * im
+
+    def supports_direct(self) -> bool:
+        """True when the framing-free windowed-basis matmul path applies."""
+        return (self.nfft % self.hop == 0
+                and _fft._fft_tier(self.nfft, "r2c") == "dense")
+
+    def power_parts(self, x, nf: int | None = None):
+        """(re, im) of the windowed rfft, framing-free, for hop | nfft on
+        the dense matmul tier: frame k spans x[k*hop : k*hop+nfft], so
+        splitting the windowed basis into q = nfft/hop row blocks gives
         X[k] = sum_r x_view_r[k] @ Bw[r*hop:(r+1)*hop] where x_view_r is a
         plain strided reshape of x shifted by r*hop — the nfft/hop-times
         expanded windowed frames array NEVER materializes in HBM (it was
-        the dominant cost of the chain's STFT stage: 3.7x measured)."""
+        the dominant cost of the chain's STFT stage).
+
+        Returning the parts (instead of |.|^2) lets downstream LINEAR
+        reductions of the power — the mel projection — fuse as
+        (re*re) @ M + (im*im) @ M with no power array in HBM either
+        (ops.mel.mel_energies_from_power_parts)."""
+        if nf is None:
+            nf = self.num_frames(x.shape[-1])
         dt = _fft._real_compute_dtype(x)
         bre, bim = _windowed_rfft_basis(self.nfft, self.window,
                                         self.window_param, jnp.dtype(dt).name)
@@ -141,7 +159,7 @@ class STFT:
                                  precision=config.MATMUL_PRECISION)
             im = im + jnp.einsum("...nh,hk->...nk", seg, bi,
                                  precision=config.MATMUL_PRECISION)
-        return re * re + im * im
+        return re, im
 
     def reconstruct(self, spec, output_len: int, rfft: bool = False):
         """Inverse STFT with w^2-normalized overlap-add.
