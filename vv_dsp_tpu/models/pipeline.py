@@ -80,7 +80,14 @@ class NorthStarChain:
         """Multi-chip execution: FIR and resample run as halo-exchange
         sharded ops over the (channel, block) mesh; the STFT runs
         frame-sharded; the mel/MFCC matmuls partition over the sharded frame
-        axis automatically (they contract only the bin axis)."""
+        axis automatically (they contract only the bin axis).
+
+        The head stays STAGED here (unlike __call__'s fused default): the
+        composite filter's halo is ~up*fir_taps input samples, which for the
+        flagship geometry exceeds typical per-shard blocks and would force
+        multi-round halos on every step, while the fusion's benefit — one
+        less HBM round trip — is a per-chip property the staged sharded ops
+        already amortize across the halo exchange."""
         y = _par.fir_apply_sharded(self.fir_coeffs, x, mesh)
         y = _par.resample_poly_sharded(y, self.up, self.down, mesh)
         spec = _par.stft_process_sharded(y, self.nfft, self.hop, mesh,
