@@ -133,3 +133,44 @@ def test_invalid_params():
         STFT(64, 0)
     with pytest.raises(ValueError):
         STFT(64, 65)
+
+
+def test_reconstruct_parts_matches_reconstruct(rng):
+    """Matmul c2r inverse from (re, im) parts vs the complex reconstruct.
+    The first/last hop samples divide by a near-zero hann w^2 norm (w^2[1]
+    ~ 9e-6) which amplifies f32 rounding ~1e5x — the reference's
+    normalization guard has the same conditioning — so the edge region
+    gets a proportionally looser bound."""
+    plan = STFT(1024, 256)
+    x = jnp.asarray(rng.standard_normal((2, 8000)).astype(np.float32))
+    re, im = plan.power_parts(x)
+    spec = plan.process(x, rfft=True)
+    a = np.asarray(plan.reconstruct_parts(re, im, 8000))
+    b = np.asarray(plan.reconstruct(spec, 8000, rfft=True))
+    hop = 256
+    scale = np.abs(b).max()
+    assert np.abs(a - b)[:, hop:-hop].max() / scale < 1e-5
+    assert np.abs(a - b)[:, :hop].max() / scale < 5e-2
+    assert np.abs(a - b)[:, -hop:].max() / scale < 5e-2
+
+
+def test_spectral_gate_parts_path_matches_complex(rng):
+    """Force the direct tier (matmul backend) so the parts-form SpectralGate
+    runs on CPU, and compare against the complex-spectrum path."""
+    from vv_dsp_tpu.models.pipeline import SpectralGate
+    from vv_dsp_tpu.ops import fft as vfft
+    g = SpectralGate()
+    x = jnp.asarray(rng.standard_normal((2, 20000)).astype(np.float32))
+    plan = g.stft_plan
+    want = np.asarray(plan.reconstruct(g._gate(plan.process(x, rfft=True)),
+                                       20000, rfft=True))
+    vfft.set_fft_backend("matmul")
+    try:
+        assert plan.supports_direct()
+        got = np.asarray(g(x))
+    finally:
+        vfft.set_fft_backend("auto")
+    hop = g.hop
+    scale = np.abs(want).max()
+    assert np.abs(got - want)[:, hop:-hop].max() / scale < 2e-5
+    assert np.abs(got - want).max() / scale < 5e-2

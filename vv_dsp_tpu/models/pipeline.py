@@ -123,6 +123,17 @@ class SpectralGate:
     def __call__(self, x):
         """x: (channels, n) -> (channels, n) denoised."""
         n = x.shape[-1]
+        if self.stft_plan.supports_direct():
+            # parts-form roundtrip: framing-free forward, gate on squared
+            # magnitudes (mag >= t*peak  <=>  mag^2 >= t^2*peak^2), matmul
+            # c2r inverse — no complex array anywhere
+            re, im = self.stft_plan.power_parts(x)
+            p2 = re * re + im * im
+            peak2 = jnp.max(p2, axis=-1, keepdims=True)
+            keep = p2 >= (self.threshold * self.threshold) * peak2
+            zero = jnp.zeros_like(re)
+            return self.stft_plan.reconstruct_parts(
+                jnp.where(keep, re, zero), jnp.where(keep, im, zero), n)
         spec = self.stft_plan.process(x, rfft=True)
         return self.stft_plan.reconstruct(self._gate(spec), n, rfft=True)
 

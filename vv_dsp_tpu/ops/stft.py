@@ -172,11 +172,31 @@ class STFT:
             time = _fft.irfft(spec, self.nfft)
         else:
             time = _fft.ifft(spec).real
+        return self._ola_norm(time, output_len)
+
+    def reconstruct_parts(self, re, im, output_len: int):
+        """Inverse STFT from Hermitian-packed (re, im) rfft parts — the
+        complex spectrum never exists: irfft(X) = re @ M_re - im @ M_im
+        with M the weighted c2r basis (1/n scaling + Hermitian double
+        weights folded in, ops.fft._dft_basis), then the same windowed
+        w^2-normalized OLA as reconstruct. Pairs with power_parts for
+        spectral-modification roundtrips (e.g. SpectralGate) that only
+        rescale bins."""
+        dtn = jnp.dtype(re.dtype).name
+        mre = jnp.asarray(_fft._basis_cast(self.nfft, "c2r", "re", dtn))
+        mim = jnp.asarray(_fft._basis_cast(self.nfft, "c2r", "im", dtn))
+        time = (jnp.einsum("...nk,kt->...nt", re, mre,
+                           precision=config.MATMUL_PRECISION)
+                - jnp.einsum("...nk,kt->...nt", im, mim,
+                             precision=config.MATMUL_PRECISION))
+        return self._ola_norm(time, output_len)
+
+    def _ola_norm(self, time, output_len: int):
         w = self.win.astype(time.dtype)
         ola = (framing.overlap_add_strided if self.nfft % self.hop == 0
                else framing.overlap_add)
         recon = ola(time * w, self.hop, output_len)
-        nf = spec.shape[-2]
+        nf = time.shape[-2]
         wsq = jnp.broadcast_to(w * w, (nf, self.nfft))
         norm = ola(wsq, self.hop, output_len)
         return jnp.where(norm > 1e-12, recon / jnp.where(norm > 1e-12, norm, 1.0),
