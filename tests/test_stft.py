@@ -174,3 +174,21 @@ def test_spectral_gate_parts_path_matches_complex(rng):
     scale = np.abs(want).max()
     assert np.abs(got - want)[:, hop:-hop].max() / scale < 2e-5
     assert np.abs(got - want).max() / scale < 5e-2
+
+
+def test_spectrogram_direct_matches_complex(rng):
+    """Framing-free two-sided magnitude spectrogram (direct tier) vs
+    |process| — even and odd nfft."""
+    from vv_dsp_tpu.ops import fft as vfft
+    for nfft, hop in [(1024, 256), (27, 9)]:
+        plan = STFT(nfft, hop)
+        x = jnp.asarray(rng.standard_normal((2, 5000)).astype(np.float32))
+        want = np.asarray(jnp.abs(plan.process(x)))
+        vfft.set_fft_backend("matmul")
+        try:
+            assert plan.supports_direct()
+            got = np.asarray(plan.spectrogram(x))
+        finally:
+            vfft.set_fft_backend("auto")
+        assert got.shape == want.shape
+        assert np.abs(got - want).max() / want.max() < 1e-5

@@ -204,7 +204,17 @@ class STFT:
 
     def spectrogram(self, x):
         """Magnitude spectrogram (vv_dsp_stft_spectrogram,
-        src/spectral/stft.c:112-144): (..., n) -> (..., frames, nfft)."""
+        src/spectral/stft.c:112-144): (..., n) -> (..., frames, nfft).
+
+        Full two-sided bins like the reference; on the direct tier the
+        one-sided half comes from the framing-free parts (no complex
+        array) and the mirror is a concat (|X[n-k]| = |X[k]| for real
+        input)."""
+        if self.supports_direct():
+            re, im = self.power_parts(x)
+            half = jnp.sqrt(re * re + im * im)
+            lo = self.nfft - half.shape[-1] + 1
+            return jnp.concatenate([half, half[..., 1:lo][..., ::-1]], -1)
         return jnp.abs(self.process(x))
 
 
