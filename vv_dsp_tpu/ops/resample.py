@@ -418,8 +418,11 @@ def fir_resample_fused(h_fir, x, up: int, down: int,
     gf, offset = _fused_fir_resample_filter(tuple(h_np), up, down)
     taps_pp = -(-len(gf) // up)
     if group is None:
-        # frame stride ~ taps_pp/2 keeps the banded matrix ~2/3 dense
-        group = max(1, int(round(taps_pp / (2 * down))))
+        # frame stride ~ taps_pp (group*down ~ taps_pp): measured best on
+        # v5e at the flagship geometry (sweep 64/128/177/256/354 ->
+        # 10.7/9.1/8.7/8.3/8.2 ms); wider frames amortize the band's
+        # zero-fill across taller MXU tiles
+        group = max(1, int(round(taps_pp / down)))
     y = _upfirdn_tall(gf, x, up, down, offset, n_out, group)
 
     # exact staged tail: first output whose window crosses the FIR tail

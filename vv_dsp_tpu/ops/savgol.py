@@ -49,11 +49,13 @@ def savgol_coeffs_np(window_length: int, polyorder: int, deriv: int = 0,
     half = window_length // 2
     t = np.arange(-half, half + 1, dtype=np.float64)
     A = np.vander(t, polyorder + 1, increasing=True)  # A[r, j] = t_r^j
-    # weights = deriv! * A (A^T A)^{-1} e_deriv  == row of the LS projector
+    # weights = the minimum-norm solution of A^T w = deriv! * e_deriv (the
+    # LS projector row). Solved via SVD lstsq on A^T DIRECTLY — forming the
+    # normal equations (A^T A) squares the condition number and loses ~6
+    # digits already at window 79 / polyorder 5 (1e-1 coefficient error).
     e = np.zeros(polyorder + 1)
     e[deriv] = float(_math.factorial(deriv))
-    c, *_ = np.linalg.lstsq(A.T @ A, e, rcond=None)
-    w = A @ c
+    w, *_ = np.linalg.lstsq(A.T, e, rcond=None)
     if deriv == 0:
         s = w.sum()
         if s != 0.0:
