@@ -96,3 +96,84 @@ def test_fir_paths_agree_random(rng):
             assert got.shape == base.shape, (f.__name__, taps, n)
             err = np.abs(got - base).max() / max(1.0, np.abs(base).max())
             assert err < 2e-4, (f.__name__, taps, n, err)
+
+
+def test_czt_random_spirals_vs_scipy(rng):
+    """Random Bluestein spirals (m, w, a) vs scipy.signal.czt at the py-czt
+    2e-4 contract."""
+    from vv_dsp_tpu.ops import czt as vczt
+    for _ in range(8):
+        n = int(rng.integers(8, 700))
+        m = int(rng.integers(4, 500))
+        theta = float(rng.uniform(0, 2 * np.pi / max(m, 1)))
+        # |w| != 1 raises r^(k^2/2) to exp(ln r * (n+m)^2 / 2): bound the
+        # exponent to ~5 so the chirp dynamic range stays within f32 —
+        # beyond that the f32 reference (and any f32 Bluestein) loses all
+        # precision, and far beyond even scipy's f64 overflows to inf
+        r = 1.0 + float(rng.uniform(-1, 1)) * 10.0 / (n + m) ** 2
+        w = r * np.exp(-1j * theta)
+        a = np.exp(1j * float(rng.uniform(0, 2 * np.pi)))
+        x = (rng.standard_normal(n) + 1j * rng.standard_normal(n)
+             ).astype(np.complex64)
+        want = sig.czt(x.astype(np.complex128), m, w, a)
+        got = np.asarray(vczt.czt(jnp.asarray(x), m, complex(w), complex(a)))
+        err = np.abs(got - want).max() / max(1.0, np.abs(want).max())
+        assert err < 2e-4, (n, m, w, a, err)
+
+
+def test_lpc_random_orders_vs_levinson_oracle(rng):
+    """LPC via our levinson vs solving the Toeplitz normal equations in
+    f64 (the textbook oracle) at random orders."""
+    import scipy.linalg as sla
+    from vv_dsp_tpu.ops import envelope as venv
+    for _ in range(6):
+        order = int(rng.integers(2, 16))
+        n = int(rng.integers(order * 8, 4000))
+        # AR-ish signal so the autocorrelation is well-conditioned
+        x = sig.lfilter([1.0], [1.0, -0.6, 0.2],
+                        rng.standard_normal(n)).astype(np.float32)
+        a_got, err_got = venv.lpc(jnp.asarray(x), order)
+        r = np.correlate(x.astype(np.float64), x.astype(np.float64),
+                         "full")[n - 1: n + order] / n
+        a_want = sla.solve_toeplitz((r[:-1], r[:-1]), -r[1:])
+        err = np.abs(np.asarray(a_got)[1:] - a_want).max()
+        assert err < 1e-3, (order, n, err)
+
+
+def test_windows_random_sizes_vs_scipy(rng):
+    """All scipy-comparable windows at random sizes (the reference's
+    periodic=False symmetric convention)."""
+    from vv_dsp_tpu.ops.window import get_window_np
+    pairs = [("hann", "hann"), ("hamming", "hamming"),
+             ("blackman", "blackman"), ("bartlett", "bartlett"),
+             ("boxcar", "boxcar"), ("blackman_harris", "blackmanharris"),
+             ("nuttall", "nuttall"), ("flattop", "flattop")]
+    for _ in range(10):
+        ours, theirs = pairs[int(rng.integers(0, len(pairs)))]
+        n = int(rng.integers(2, 3000))
+        got = get_window_np(ours, n)
+        want = sig.get_window(theirs, n, fftbins=False)
+        err = np.abs(got - want).max()
+        assert err < 1e-8, (ours, n, err)
+
+
+def test_resample_linear_random_ratios_vs_reference_mirror(rng):
+    """resample_linear vs a numpy mirror of src/resample/resampler.c:77-86
+    at random L/M."""
+    for _ in range(8):
+        l = int(rng.integers(1, 12))
+        m = int(rng.integers(1, 12))
+        n = int(rng.integers(8, 3000))
+        x = rng.standard_normal(n).astype(np.float32)
+        out_n = (n - 1) * l // m + 1
+        want = np.empty(out_n)
+        for k in range(out_n):
+            pos = min(max(k * m / l, 0.0), n - 1)
+            i0 = int(np.floor(pos)); i1 = min(i0 + 1, n - 1)
+            frac = pos - i0
+            want[k] = x[i0] * (1 - frac) + x[i1] * frac
+        got = np.asarray(vrs.resample_linear(jnp.asarray(x), l, m))
+        assert got.shape == want.shape, (l, m, n)
+        # f32 position arithmetic: ulp(pos) ~ 2.4e-4 at pos ~ 3000 times
+        # the local slope — the device computes pos in f32 by design
+        assert np.abs(got - want).max() < 2e-3, (l, m, n)
