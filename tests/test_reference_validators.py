@@ -26,6 +26,10 @@ CASES = [
     ("test_stft.py", ["--stft-bin", "dump_stft_roundtrip"]),
     ("test_resampler.py", ["--resample-bin", "dump_resample"]),
     ("test_stats.py", ["--stats-bin", "dump_stats"]),
+    # librosa-gated concept validator (no binary to drive — the reference
+    # never builds its optional framing tool); exits SKIP_CODE without
+    # librosa, which this image doesn't ship
+    ("test_framing.py", []),
 ]
 
 
