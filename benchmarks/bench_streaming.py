@@ -47,7 +47,9 @@ def main():
         step = jax.jit(lambda s, b: chain.process(s, b))
         state = chain.init((channels,))
         feats, state = step(state, x)          # compile + warmup
-        jax.block_until_ready(state)
+        # scalar pull is the only true sync on this transport
+        # (block_until_ready is not — see profiling.chain_benchmark)
+        float(jnp.sum(feats))
 
         t0 = time.perf_counter()
         for _ in range(args.blocks):

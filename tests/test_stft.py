@@ -192,3 +192,25 @@ def test_spectrogram_direct_matches_complex(rng):
             vfft.set_fft_backend("auto")
         assert got.shape == want.shape
         assert np.abs(got - want).max() / want.max() < 1e-5
+
+
+def test_spectrogram_complex_input_uses_c2c(rng):
+    """Complex input must NOT take the real-input direct path (its
+    Hermitian mirror and r2c cast are real-only) — regression for the
+    silent-wrong-magnitudes bug."""
+    from vv_dsp_tpu.ops import fft as vfft
+    plan = STFT(64, 16)
+    z = jnp.asarray((rng.standard_normal((2, 1000))
+                     + 1j * rng.standard_normal((2, 1000))
+                     ).astype(np.complex64))
+    want = np.asarray(jnp.abs(plan.process(z)))
+    vfft.set_fft_backend("matmul")
+    try:
+        got = np.asarray(plan.spectrogram(z))
+        # power() is an rfft-semantics op: complex input must raise loudly
+        # (it used to take the direct path and return silent garbage)
+        with pytest.raises((ValueError, TypeError)):
+            np.asarray(plan.power(z))
+    finally:
+        vfft.set_fft_backend("auto")
+    assert np.abs(got - want).max() / want.max() < 1e-5

@@ -362,6 +362,10 @@ def ifft(x, n: int | None = None, axis: int = -1):
 def rfft(x, n: int | None = None, axis: int = -1):
     """Real-to-complex FFT: n real -> n//2+1 Hermitian-packed bins
     (reference R2C, src/spectral/fft_kiss.c:120-147)."""
+    if jnp.iscomplexobj(x):
+        # the XLA tier raises here; the matmul tiers would silently drop
+        # the imaginary part — fail loudly on every tier instead
+        raise TypeError("rfft requires real input; use fft() for complex")
     x, n = _pad_or_trim(x, n, axis)
     tier = _fft_tier(n, "r2c")
     if tier != "xla":
@@ -382,6 +386,8 @@ def rfft_power(x, n: int | None = None, axis: int = -1):
     outputs — XLA fuses it, saving the complex64 HBM round trip (the
     dominant cost of spectrogram->mel pipelines at large batch).
     """
+    if jnp.iscomplexobj(x):
+        raise TypeError("rfft_power requires real input")
     x, n = _pad_or_trim(x, n, axis)
     tier = _fft_tier(n, "r2c")
     if tier != "xla":

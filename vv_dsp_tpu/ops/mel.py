@@ -112,18 +112,15 @@ def log_mel_spectrogram(power_spec, n_fft: int, n_mels: int, sample_rate: float,
     return jnp.log(mel_e + log_epsilon)
 
 
-def mfcc_from_power_parts(re, im, n_fft: int, n_mels: int, n_coeffs: int,
-                          sample_rate: float, fmin: float = 0.0,
-                          fmax: float | None = None,
-                          log_epsilon: float = 1e-10, lifter: float = 0.0,
-                          variant: str = "htk"):
-    """MFCC straight from the (re, im) rfft parts (STFT.power_parts).
-
-    The mel projection is linear in the power, so
+def mel_energies_from_power_parts(re, im, n_fft: int, n_mels: int,
+                                  sample_rate: float, fmin: float = 0.0,
+                                  fmax: float | None = None,
+                                  variant: str = "htk"):
+    """Mel energies straight from the (re, im) rfft parts
+    (STFT.power_parts): the mel projection is linear in the power, so
     mel_e = (re*re) @ fb.T + (im*im) @ fb.T — the (frames, bins) power
     array never materializes in HBM (it is ~13x larger than the mel
-    energies), and the squares fuse into the matmul operand reads. Matches
-    mfcc(re*re + im*im, ...) exactly."""
+    energies), and the squares fuse into the matmul operand reads."""
     if fmax is None:
         fmax = sample_rate / 2.0
     fb = jnp.asarray(
@@ -131,10 +128,22 @@ def mfcc_from_power_parts(re, im, n_fft: int, n_mels: int, n_coeffs: int,
                           float(fmax), variant),
         dtype=re.dtype,
     )
-    mel_e = (jnp.einsum("...fb,mb->...fm", re * re, fb,
-                        precision=config.MATMUL_PRECISION)
-             + jnp.einsum("...fb,mb->...fm", im * im, fb,
-                          precision=config.MATMUL_PRECISION))
+    return (jnp.einsum("...fb,mb->...fm", re * re, fb,
+                       precision=config.MATMUL_PRECISION)
+            + jnp.einsum("...fb,mb->...fm", im * im, fb,
+                         precision=config.MATMUL_PRECISION))
+
+
+def mfcc_from_power_parts(re, im, n_fft: int, n_mels: int, n_coeffs: int,
+                          sample_rate: float, fmin: float = 0.0,
+                          fmax: float | None = None,
+                          log_epsilon: float = 1e-10, lifter: float = 0.0,
+                          variant: str = "htk"):
+    """MFCC from the (re, im) rfft parts — matches
+    mfcc(re*re + im*im, ...) exactly (see mel_energies_from_power_parts
+    for why the power array never exists)."""
+    mel_e = mel_energies_from_power_parts(re, im, n_fft, n_mels,
+                                          sample_rate, fmin, fmax, variant)
     return mfcc_from_log_mel(jnp.log(mel_e + log_epsilon), n_coeffs, lifter)
 
 

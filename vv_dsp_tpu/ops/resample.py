@@ -403,8 +403,9 @@ def fir_resample_fused(h_fir, x, up: int, down: int,
 
     This erases the intermediate HBM round trip AND both stages' separate
     launch/layout overheads — the north-star chain's head becomes one
-    matmul. FLOP overhead vs the algorithmic minimum is Win/taps_pp ~ 1.5x
-    at the default group.
+    matmul. FLOP overhead vs the algorithmic minimum is Win/taps_pp ~ 2x
+    at the default group (the wider frames measured faster anyway: MXU
+    tile height beats band zero-fill on v5e).
     """
     g = math.gcd(up, down)
     up //= g

@@ -99,8 +99,7 @@ class STFT:
         (..., frames, nfft//2+1). The fast input to mel/MFCC."""
         n = x.shape[-1]
         nf = self.num_frames(n)
-        if self.nfft % self.hop == 0 and _fft._fft_tier(self.nfft,
-                                                        "r2c") == "dense":
+        if self.supports_direct() and not jnp.iscomplexobj(x):
             return self._power_direct(x, nf)
         if self.nfft % self.hop == 0:
             frames = framing.frames_strided(x, self.nfft, self.hop, nf)
@@ -135,7 +134,8 @@ class STFT:
         Returning the parts (instead of |.|^2) lets downstream LINEAR
         reductions of the power — the mel projection — fuse as
         (re*re) @ M + (im*im) @ M with no power array in HBM either
-        (ops.mel.mel_energies_from_power_parts)."""
+        (ops.mel.mel_energies_from_power_parts). Real input only (the
+        windowed r2c basis assumes it)."""
         if nf is None:
             nf = self.num_frames(x.shape[-1])
         dt = _fft._real_compute_dtype(x)
@@ -208,9 +208,9 @@ class STFT:
 
         Full two-sided bins like the reference; on the direct tier the
         one-sided half comes from the framing-free parts (no complex
-        array) and the mirror is a concat (|X[n-k]| = |X[k]| for real
-        input)."""
-        if self.supports_direct():
+        array) and the mirror is a concat (|X[n-k]| = |X[k]| — valid for
+        REAL input only, hence the iscomplexobj guard)."""
+        if self.supports_direct() and not jnp.iscomplexobj(x):
             re, im = self.power_parts(x)
             half = jnp.sqrt(re * re + im * im)
             lo = self.nfft - half.shape[-1] + 1
