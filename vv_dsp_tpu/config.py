@@ -28,8 +28,8 @@ DEFAULT_COMPLEX_DTYPE = jnp.complex64
 # (VV_DSP_USE_DOUBLE, vv_dsp_types.h): lower tiers trade accuracy for MXU
 # throughput on compute-bound matmuls. Measured curve (error vs f64 oracle
 # and Msps per tier/surface): docs/PERFORMANCE.md +
-# benchmarks/accuracy_tradeoff.json. Summary: "default" = ~1.5e-3 rel err
-# for 1.2-1.8x; avoid "high" (XLA slow path for the FIR-MXU form on v5e).
+# benchmarks/accuracy_tradeoff.json. Summary: "high" = ~1e-5 err for
+# ~5-10%; "default" = ~2e-3 err for 1.4-1.5x.
 MATMUL_PRECISION = lax.Precision.HIGHEST
 
 _PRECISIONS = {
