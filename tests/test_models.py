@@ -217,3 +217,20 @@ def test_fused_head_random_geometries(rng):
         assert staged.shape == fused.shape, (up, down, taps, n)
         scale = max(1.0, np.abs(staged).max())
         assert np.abs(staged - fused).max() / scale < 5e-5, (up, down, taps, n)
+
+
+def test_models_accept_bf16_input(rng):
+    """Serving buffers may arrive in bfloat16: models promote to f32
+    compute (8-bit mantissas are below every parity contract). Feature
+    outputs match the f32-input run at input-quantization level; the
+    spectral gate's output may differ more — its threshold decisions are
+    discontinuous in the (quantized) input by nature."""
+    xf = rng.standard_normal((2, 20000)).astype(np.float32)
+    xb = jnp.asarray(xf, dtype=jnp.bfloat16)
+    for model, tol in [(MFCCFrontend(), 1e-3), (NorthStarChain(), 1e-3)]:
+        ob = np.asarray(model(xb), np.float32)
+        of = np.asarray(model(jnp.asarray(xf)))
+        assert ob.dtype == np.float32
+        assert np.abs(ob - of).max() / np.abs(of).max() < tol
+    g = np.asarray(SpectralGate()(xb), np.float32)
+    assert g.dtype == np.float32 and np.isfinite(g).all()

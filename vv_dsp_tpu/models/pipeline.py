@@ -22,6 +22,16 @@ from vv_dsp_tpu.ops.stft import STFT
 from vv_dsp_tpu import parallel as _par
 
 
+
+
+def _promote_audio(x):
+    """Accept sub-f32 float input (bf16/f16 serving buffers) but compute in
+    f32 — 8-bit mantissas are below every parity contract; the matmul
+    precision knob is the sanctioned accuracy/speed trade."""
+    if jnp.issubdtype(x.dtype, jnp.floating) and jnp.finfo(x.dtype).bits < 32:
+        return x.astype(jnp.float32)
+    return x
+
 @dataclasses.dataclass(frozen=True)
 class NorthStarChain:
     """1024-tap FIR -> up/down polyphase resample -> STFT -> log-mel -> MFCC.
@@ -61,6 +71,7 @@ class NorthStarChain:
     def __call__(self, x):
         """x: (channels, n) -> (channels, frames, n_mfcc)."""
         from vv_dsp_tpu.ops import pallas_kernels as _pk
+        x = _promote_audio(x)
         if self.fused_head:
             from vv_dsp_tpu.ops.resample import fir_resample_fused
             y = fir_resample_fused(self.fir_coeffs, x, self.up, self.down)
@@ -122,6 +133,7 @@ class SpectralGate:
 
     def __call__(self, x):
         """x: (channels, n) -> (channels, n) denoised."""
+        x = _promote_audio(x)
         n = x.shape[-1]
         if self.stft_plan.supports_direct():
             # parts-form roundtrip: framing-free forward, gate on squared
@@ -166,6 +178,7 @@ class MFCCFrontend:
 
     def __call__(self, x):
         """x: (channels, n) -> (channels, frames, n_mfcc)."""
+        x = _promote_audio(x)
         if self.stft_plan.supports_direct():
             re, im = self.stft_plan.power_parts(x)
             return _mel.mfcc_from_power_parts(

@@ -170,9 +170,17 @@ def _mm_basis(a, n: int, kind: str, part: str, out_dtype):
 
 
 def _real_compute_dtype(x):
-    """Floating dtype for matmul transforms of possibly-integer input."""
+    """Floating dtype for matmul transforms of possibly-integer input.
+
+    Sub-single floats (bfloat16/float16) promote to float32: 8-bit
+    mantissas are far below every parity contract here, and the XLA FFT
+    tier rejects them outright — inputs may arrive in bf16 (serving), but
+    transforms compute in f32 (the matmul-precision knob is the sanctioned
+    way to trade accuracy for speed)."""
     d = jnp.real(x).dtype
-    return d if jnp.issubdtype(d, jnp.floating) else jnp.float32
+    if not jnp.issubdtype(d, jnp.floating):
+        return jnp.float32
+    return jnp.float32 if jnp.finfo(d).bits < 32 else d
 
 
 def _matmul_fft(x, n: int, inverse: bool):
