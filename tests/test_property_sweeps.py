@@ -177,3 +177,32 @@ def test_resample_linear_random_ratios_vs_reference_mirror(rng):
         # f32 position arithmetic: ulp(pos) ~ 2.4e-4 at pos ~ 3000 times
         # the local slope — the device computes pos in f32 by design
         assert np.abs(got - want).max() < 2e-3, (l, m, n)
+
+
+def test_integer_input_promotes_exactly(rng):
+    """PCM integer buffers promote to f32 compute at every filtering op
+    entry — previously filter weights were silently cast to int (all-zero
+    taps, garbage output with no error)."""
+    from vv_dsp_tpu.ops.stft import STFT
+    from vv_dsp_tpu.models import NorthStarChain
+    xi = (rng.standard_normal((2, 3000)) * 1000).astype(np.int32)
+    xf = xi.astype(np.float32)
+    h = vfir.design_lowpass_np(31, 0.4).astype(np.float32)
+    cases = [
+        lambda v: vfir.fir_apply(h, v),
+        lambda v: vfir.fir_apply_mxu(h, v),
+        lambda v: vfir.filtfilt_fir(h, v),
+        lambda v: vrs.resample_poly(v, 4, 3),
+        lambda v: vrs.fir_resample_fused(h, v, 4, 3),
+        lambda v: vrs.upfirdn(h, v, 3, 2),
+        lambda v: vrs.resample_linear(v, 4, 3),
+        lambda v: vrs.resample_sinc(v, 4, 3),
+        lambda v: vsg.savgol_filter(v, 11, 3),
+        lambda v: STFT(256, 64).power(v),
+        lambda v: NorthStarChain()(v),
+    ]
+    for i, fn in enumerate(cases):
+        a = np.asarray(fn(jnp.asarray(xi)))
+        b = np.asarray(fn(jnp.asarray(xf)))
+        assert a.dtype == b.dtype, i
+        np.testing.assert_array_equal(a, b, err_msg=f"case {i}")

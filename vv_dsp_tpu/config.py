@@ -59,6 +59,23 @@ def real_dtype(dtype=None):
     return DEFAULT_REAL_DTYPE if dtype is None else jnp.dtype(dtype)
 
 
+def as_compute(x):
+    """Promote a signal array to its compute dtype at op entry: integers
+    (PCM buffers) and sub-single floats (bf16/f16 serving buffers) become
+    float32; float32/float64 pass through untouched.
+
+    Every filtering/transform op calls this first — the reference's C API
+    is float-only so this is new surface, but the failure mode it prevents
+    (filter weights silently cast to int -> all-zero taps) is silent
+    garbage, not an error."""
+    d = jnp.asarray(x).dtype
+    if jnp.issubdtype(d, jnp.floating):
+        return x if jnp.finfo(d).bits >= 32 else x.astype(jnp.float32)
+    if jnp.issubdtype(d, jnp.complexfloating):
+        return x
+    return jnp.asarray(x).astype(jnp.float32)
+
+
 def complex_dtype(dtype=None):
     """Resolve a complex dtype argument (None -> default)."""
     return DEFAULT_COMPLEX_DTYPE if dtype is None else jnp.dtype(dtype)

@@ -85,12 +85,14 @@ def _causal_conv(x, h):
 def fir_apply(h, x):
     """Causal FIR filtering, lfilter(h, [1], x) semantics
     (vv_dsp_fir_apply, src/filter/fir.c:160-196 with zeroed initial state)."""
+    x = config.as_compute(x)
     return _causal_conv(x, jnp.asarray(h, dtype=x.dtype))
 
 
 def fir_apply_fft(h, x):
     """Whole-signal linear convolution via rFFT, truncated to len(x)
     (vv_dsp_fir_apply_fft, src/filter/fir.c:75-135)."""
+    x = config.as_compute(x)
     h = jnp.asarray(h, dtype=x.dtype)
     n = x.shape[-1]
     taps = h.shape[-1]
@@ -107,6 +109,7 @@ def fir_apply_os(h, x, block_size: int | None = None):
     nfft = next_pow2(block+taps-1). This is the streaming-FFT structure whose
     per-shard version (history via ppermute) lives in vv_dsp_tpu.parallel.
     """
+    x = config.as_compute(x)
     h = jnp.asarray(h, dtype=x.dtype)
     taps = h.shape[-1]
     n = x.shape[-1]
@@ -152,6 +155,7 @@ def fir_apply_mxu(h, x, chunk: int = 128):
     faster than both the XLA conv (im2col HBM traffic) and the rFFT
     overlap-save path for taps ~= 1024 (measured on v5e).
     """
+    x = config.as_compute(x)
     import jax as _jax
 
     traced = isinstance(h, _jax.core.Tracer)
@@ -208,6 +212,7 @@ def fir_apply_mxu(h, x, chunk: int = 128):
 def filtfilt_fir(h, x):
     """Zero-phase FIR (vv_dsp_filtfilt_fir, src/filter/common.c:23-80):
     symmetric-pad by taps-1, forward conv, reverse, conv, reverse, center."""
+    x = config.as_compute(x)
     h = jnp.asarray(h, dtype=x.dtype)
     taps = h.shape[-1]
     pad = taps - 1 if taps > 1 else 0

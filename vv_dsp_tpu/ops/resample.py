@@ -39,6 +39,7 @@ from vv_dsp_tpu.ops.window import get_window_np
 def interpolate_linear(x, pos):
     """Linear interp at fractional positions; pos<=0 -> x[0], pos>=n-1 -> x[-1]
     (src/resample/interpolate.c:4-21)."""
+    x = config.as_compute(x)
     n = x.shape[-1]
     pos = jnp.clip(pos, 0.0, float(n - 1))
     i0 = jnp.floor(pos).astype(jnp.int32)
@@ -49,6 +50,7 @@ def interpolate_linear(x, pos):
 
 def interpolate_catmull_rom(x, pos):
     """Catmull-Rom cubic with clamped neighbors (src/resample/interpolate.c:23-64)."""
+    x = config.as_compute(x)
     n = x.shape[-1]
     pos = jnp.clip(pos, 0.0, float(n - 1))
     i1 = jnp.floor(pos).astype(jnp.int32)
@@ -81,6 +83,7 @@ def output_length(n: int, l: int, m: int) -> int:
 
 def resample_linear(x, l: int, m: int):
     """Linear-interpolation rational resampler (reference linear path)."""
+    x = config.as_compute(x)
     n = x.shape[-1]
     out_n = output_length(n, l, m)
     k = np.arange(out_n, dtype=np.float64)
@@ -117,6 +120,7 @@ def resample_sinc(x, l: int, m: int, taps: int = 32):
 
     Edge handling: input index clamp to [0, n-1] like the reference.
     """
+    x = config.as_compute(x)
     taps = int(np.clip(taps, 4, 128))
     if taps % 2:
         taps += 1
@@ -189,6 +193,7 @@ def _upfirdn_gather(h, x, up: int, down: int, offset: int, n_out: int):
 def upfirdn(h, x, up: int = 1, down: int = 1):
     """scipy.signal.upfirdn parity: zero-stuff by up, filter with h,
     downsample by down; output length ceil((n_in-1)*up + len(h)) / down)."""
+    x = config.as_compute(x)
     n_in = x.shape[-1]
     n_out = -(-((n_in - 1) * up + len(np.asarray(h))) // down)
     return _upfirdn_gather(h, x, up, down, 0, n_out)
@@ -198,6 +203,7 @@ def resample_poly(x, up: int, down: int):
     """scipy.signal.resample_poly(x, up, down) parity: polyphase anti-aliased
     rational resampling with output length ceil(n*up/down) and centered
     (zero-delay) default kaiser filter."""
+    x = config.as_compute(x)
     g = math.gcd(up, down)
     up //= g
     down //= g
@@ -293,6 +299,7 @@ def resample_poly_mxu(x, up: int, down: int):
     Form dispatch (measured, v5e): large `up` rides the frames-matmul einsum
     (wide output dim fills the MXU; q = ceil(Wd/down) stays small so the
     framing inflation is bounded); otherwise the strided conv."""
+    x = config.as_compute(x)
     g = math.gcd(up, down)
     up //= g
     down //= g
@@ -311,6 +318,7 @@ def resample_poly_mxu(x, up: int, down: int):
 
 def upfirdn_mxu(h, x, up: int = 1, down: int = 1):
     """scipy.signal.upfirdn parity on the strided-conv MXU path."""
+    x = config.as_compute(x)
     n_in = x.shape[-1]
     n_out = -(-((n_in - 1) * up + len(np.asarray(h))) // down)
     return _upfirdn_conv(h, x, up, down, 0, n_out)
@@ -407,6 +415,7 @@ def fir_resample_fused(h_fir, x, up: int, down: int,
     at the default group (the wider frames measured faster anyway: MXU
     tile height beats band zero-fill on v5e).
     """
+    x = config.as_compute(x)
     g = math.gcd(up, down)
     up //= g
     down //= g
@@ -507,6 +516,7 @@ def resample_multistage(x, up: int, down: int, use_pallas: bool | None = None):
     stopband rejection), so this is a quality-equivalent, not sample-exact,
     alternative; output length still ceil(n*L/M).
     """
+    x = config.as_compute(x)
     g = math.gcd(up, down)
     up //= g
     down //= g

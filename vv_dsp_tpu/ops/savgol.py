@@ -88,6 +88,7 @@ def savgol_filter(x, window_length: int, polyorder: int, deriv: int = 0,
                   nan_policy: NanPolicy = NanPolicy.PROPAGATE):
     """Savitzky-Golay filter over the last axis (vv_dsp_savgol,
     src/filter/savgol.c:220-287)."""
+    x = config.as_compute(x)
     if window_length > 257:
         raise ValueError("window_length must be <= 257 (reference limit)")
     if window_length // 2 > x.shape[-1] - 1:

@@ -78,6 +78,7 @@ class STFT:
         Frames start at f*hop; the tail frame is zero-padded like
         vv_dsp_stft_spectrogram's tail handling (src/spectral/stft.c:124-137).
         """
+        x = config.as_compute(x)
         n = x.shape[-1]
         nf = self.num_frames(n)
         if self.nfft % self.hop == 0:
@@ -97,6 +98,7 @@ class STFT:
         """One-sided power spectrogram |rfft(frames)|^2, fused so the complex
         spectrum never hits HBM (ops.fft.rfft_power): (..., n) ->
         (..., frames, nfft//2+1). The fast input to mel/MFCC."""
+        x = config.as_compute(x)
         n = x.shape[-1]
         nf = self.num_frames(n)
         if self.supports_direct() and not jnp.iscomplexobj(x):
@@ -136,6 +138,9 @@ class STFT:
         (re*re) @ M + (im*im) @ M with no power array in HBM either
         (ops.mel.mel_energies_from_power_parts). Real input only (the
         windowed r2c basis assumes it)."""
+        if jnp.iscomplexobj(x):
+            raise TypeError("power_parts requires real input (windowed r2c)")
+        x = config.as_compute(x)
         if nf is None:
             nf = self.num_frames(x.shape[-1])
         dt = _fft._real_compute_dtype(x)
