@@ -39,10 +39,22 @@ def test_north_star_sharded_matches_dense(sig):
 def test_spectral_gate_roundtrip(sig):
     gate = SpectralGate(nfft=512, hop=128, threshold=0.0)
     out = jax.jit(gate)(sig)
-    # threshold 0 -> identity pipeline (modulo OLA edges)
-    n = sig.shape[-1]
-    np.testing.assert_allclose(out[..., 512 : n - 512],
-                               sig[..., 512 : n - 512], rtol=5e-4, atol=5e-4)
+    # threshold 0 -> identity pipeline; COLA edge padding makes this hold
+    # over the FULL length, edges included
+    np.testing.assert_allclose(out, sig, rtol=5e-4, atol=5e-4)
+
+
+def test_spectral_gate_edges_bounded():
+    """Regression: gating a pure sine must not blow up at the stream edges.
+
+    Without COLA coverage padding the first nfft-hop samples divide by a
+    near-zero w^2 norm and a 0.5-amplitude sine gated at the default
+    threshold came back with |out| ~ 210."""
+    t = np.arange(48000, dtype=np.float64) / 48000.0
+    x = jnp.asarray((0.5 * np.sin(2 * np.pi * 440 * t))[None, :],
+                    dtype=jnp.float32)
+    out = np.asarray(jax.jit(SpectralGate())(x))
+    assert np.abs(out).max() <= 0.75  # gated sine stays sine-scale
 
 
 def test_spectral_gate_sharded_matches_dense(sig):

@@ -206,3 +206,26 @@ def test_integer_input_promotes_exactly(rng):
         b = np.asarray(fn(jnp.asarray(xf)))
         assert a.dtype == b.dtype, i
         np.testing.assert_array_equal(a, b, err_msg=f"case {i}")
+
+
+def test_spectral_gate_random_geometries_bounded_and_identity(rng):
+    """SpectralGate across random (nfft, hop) incl. non-divisible hops:
+    threshold 0 must be identity over the FULL length (COLA edge padding),
+    and gating a pure tone must never amplify past the input scale — the
+    un-padded roundtrip amplified stream edges ~420x."""
+    from vv_dsp_tpu.models import SpectralGate
+    for _ in range(6):
+        nfft = int(rng.choice([128, 256, 384, 512]))
+        hop = int(rng.integers(nfft // 8, nfft // 2 + 1))  # any hop <= nfft/2
+        n = int(rng.integers(4 * nfft, 20000))
+        x = rng.standard_normal((2, n)).astype(np.float32)
+        ident = np.asarray(SpectralGate(nfft=nfft, hop=hop, threshold=0.0)(
+            jnp.asarray(x)))
+        np.testing.assert_allclose(ident, x, rtol=5e-4, atol=5e-4,
+                                   err_msg=f"{(nfft, hop, n)}")
+        tone = (0.5 * np.sin(2 * np.pi * 0.01 * np.arange(n))
+                ).astype(np.float32)[None]
+        gated = np.asarray(SpectralGate(nfft=nfft, hop=hop, threshold=0.1)(
+            jnp.asarray(tone)))
+        assert np.abs(gated).max() <= 0.75, (nfft, hop, n,
+                                             float(np.abs(gated).max()))

@@ -118,10 +118,16 @@ def _parse_header_np(f):
         cid, size = ch[:4], struct.unpack("<I", ch[4:])[0]
         if cid == b"fmt ":
             buf = f.read(size + (size & 1))
+            if len(buf) < 16:
+                raise ValueError("truncated fmt chunk")
             tag, channels, sr = struct.unpack("<HHI", buf[:8])
             bits = struct.unpack("<H", buf[14:16])[0]
-            if tag == 0xFFFE and size >= 40:
+            if tag == 0xFFFE and size >= 40 and len(buf) >= 26:
                 tag = struct.unpack("<H", buf[24:26])[0]
+            if channels == 0 or bits == 0 or sr == 0:
+                raise ValueError(
+                    f"invalid fmt chunk: channels={channels} bits={bits} "
+                    f"sample_rate={sr}")
             fmt = (tag, channels, sr, bits)
         elif cid == b"data":
             if fmt is None:
@@ -139,6 +145,10 @@ def _read_np(path: str):
         frame_bytes = channels * bits // 8
         frames = data_bytes // frame_bytes
         raw = f.read(frames * frame_bytes)
+        if len(raw) != frames * frame_bytes:
+            raise ValueError(
+                f"truncated data chunk: header promised {frames} frames "
+                f"({frames * frame_bytes} bytes), file holds {len(raw)}")
     if tag == 3:
         data = np.frombuffer(raw, dtype="<f4").astype(np.float32)
     elif bits == 16:

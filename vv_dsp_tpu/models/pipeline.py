@@ -131,30 +131,52 @@ class SpectralGate:
         return jnp.where(mag >= self.threshold * peak, spec,
                          jnp.zeros_like(spec))
 
+    @property
+    def _edge_pad(self) -> int:
+        # COLA coverage padding: the first/last nfft-hop samples of a raw
+        # OLA roundtrip have partial window coverage (norm ~ w(t)^2 -> 0),
+        # and once gating perturbs a frame, dividing by that tiny norm
+        # amplifies the edge error unboundedly (measured 420x on a sine).
+        # Zero-padding both ends by nfft-hop gives every REAL sample full
+        # coverage; the pure roundtrip stays sample-exact. (The reference's
+        # pipeline bench sidesteps this by never normalizing at all —
+        # bench/bench_pipeline.c:140-144 passes NULL for norm.)
+        return self.nfft - self.hop
+
     def __call__(self, x):
         """x: (channels, n) -> (channels, n) denoised."""
         x = _promote_audio(x)
         n = x.shape[-1]
+        pad = self._edge_pad
+        xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(pad, pad)])
+        n_pad = xp.shape[-1]
         if self.stft_plan.supports_direct():
             # parts-form roundtrip: framing-free forward, gate on squared
             # magnitudes (mag >= t*peak  <=>  mag^2 >= t^2*peak^2), matmul
             # c2r inverse — no complex array anywhere
-            re, im = self.stft_plan.power_parts(x)
+            re, im = self.stft_plan.power_parts(xp)
             p2 = re * re + im * im
             peak2 = jnp.max(p2, axis=-1, keepdims=True)
             keep = p2 >= (self.threshold * self.threshold) * peak2
             zero = jnp.zeros_like(re)
-            return self.stft_plan.reconstruct_parts(
-                jnp.where(keep, re, zero), jnp.where(keep, im, zero), n)
-        spec = self.stft_plan.process(x, rfft=True)
-        return self.stft_plan.reconstruct(self._gate(spec), n, rfft=True)
+            out = self.stft_plan.reconstruct_parts(
+                jnp.where(keep, re, zero), jnp.where(keep, im, zero), n_pad)
+        else:
+            spec = self.stft_plan.process(xp, rfft=True)
+            out = self.stft_plan.reconstruct(self._gate(spec), n_pad,
+                                             rfft=True)
+        return out[..., pad:pad + n]
 
     def apply_sharded(self, x, mesh):
-        spec = _par.stft_process_sharded(x, self.nfft, self.hop, mesh,
-                                         self.window)
+        n = x.shape[-1]
+        pad = self._edge_pad
+        xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(pad, pad)])
+        spec = _par.stft_process_sharded(xp, self.nfft, self.hop, mesh,
+                                         self.window, pad=True)
         gated = self._gate(spec)
-        return _par.stft_reconstruct_sharded(gated, self.nfft, self.hop, mesh,
-                                             self.window)
+        out = _par.stft_reconstruct_sharded(gated, self.nfft, self.hop, mesh,
+                                            self.window)
+        return out[..., pad:pad + n]
 
 
 @dataclasses.dataclass(frozen=True)
