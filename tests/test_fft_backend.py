@@ -58,3 +58,27 @@ def test_integer_input_matmul_backend(matmul_backend):
     np.testing.assert_allclose(np.asarray(F.rfft(x)),
                                np.fft.rfft(np.arange(16)), rtol=1e-4,
                                atol=1e-4)
+
+
+def test_backend_introspection_and_cache_flush(rng):
+    """is_backend_available + clear_plan_cache (the reference's
+    vv_dsp_fft_is_backend_available / vv_dsp_fft_flush_fftw_cache surface)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from vv_dsp_tpu.ops import fft as vfft
+    from vv_dsp_tpu.ops.complex_ops import cpx_from_device
+    assert vfft.is_backend_available("xla")
+    assert vfft.is_backend_available("matmul")
+    assert vfft.is_backend_available("auto")
+    assert not vfft.is_backend_available("fftw")
+    x = jnp.asarray(rng.standard_normal(64).astype(np.float32))
+    vfft.set_fft_backend("matmul")
+    try:
+        a = np.asarray(cpx_from_device(vfft.fft(x)))
+        assert vfft._dft_basis.cache_info().currsize > 0
+        vfft.clear_plan_cache()
+        assert vfft._dft_basis.cache_info().currsize == 0
+        b = np.asarray(cpx_from_device(vfft.fft(x)))  # rebuilds cleanly
+        np.testing.assert_allclose(a, b, rtol=0, atol=0)
+    finally:
+        vfft.set_fft_backend("auto")

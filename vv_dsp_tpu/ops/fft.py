@@ -76,6 +76,24 @@ def get_fft_backend() -> str:
     return _BACKEND
 
 
+def is_backend_available(name: str) -> bool:
+    """vv_dsp_fft_is_backend_available parity (src/spectral/fft.c:28-40):
+    every backend here is built in — no optional FFTW/FFTS linkage — so this
+    only reports whether the name is known."""
+    return name in _BACKENDS
+
+
+def clear_plan_cache() -> None:
+    """Drop every cached transform constant (vv_dsp_fft_flush_fftw_cache
+    role, src/spectral/fft.c:51-61): the host-side f64 DFT basis tables and
+    their per-dtype casts (up to ~130 MB per distinct large n) plus the
+    four-step factor memo. Compiled XLA executables are owned by jax's jit
+    cache — use jax.clear_caches() to drop those too."""
+    _dft_basis.cache_clear()
+    _basis_cast.cache_clear()
+    _four_step_factors.cache_clear()
+
+
 @functools.lru_cache(maxsize=256)
 def _four_step_factors(n: int) -> tuple[int, int] | None:
     """Most balanced factorization n = n1 * n2 with n2 <= the dense-basis cap,
