@@ -229,3 +229,48 @@ def test_spectral_gate_random_geometries_bounded_and_identity(rng):
             jnp.asarray(tone)))
         assert np.abs(gated).max() <= 0.75, (nfft, hop, n,
                                              float(np.abs(gated).max()))
+
+
+def test_streaming_chain_random_geometries_flush_parity(rng):
+    """StreamingNorthStar across random (taps, up/down, nfft, hop, block
+    count): streamed + flush must equal the offline chain on every frame
+    (same oracle as test_streaming_chain_flush_completes_offline_parity,
+    randomized)."""
+    from vv_dsp_tpu.models import StreamingNorthStar
+    from vv_dsp_tpu.ops import fir as _fir, mel as _mel
+    from vv_dsp_tpu.ops.resample import resample_poly
+
+    for _ in range(4):
+        taps = int(rng.choice([16, 64, 129]))
+        up, down = [(4, 3), (2, 1), (3, 2), (5, 4)][int(rng.integers(0, 4))]
+        nfft = int(rng.choice([128, 256]))
+        hop = nfft // int(rng.choice([2, 4]))
+        chain = StreamingNorthStar(fir_taps=taps, up=up, down=down,
+                                   nfft=nfft, hop=hop, n_mels=24, n_mfcc=10)
+        block = down * hop * int(rng.integers(1, 4))
+        while (block * up // down) % hop:
+            block += down * hop
+        nblocks = int(rng.integers(3, 7))
+        x = jnp.asarray(rng.standard_normal((2, nblocks * block)),
+                        dtype=jnp.float32)
+        state = chain.init(x.shape[:-1])
+        feats = []
+        for i in range(nblocks):
+            f, state = chain.process(state, x[..., i * block:(i + 1) * block])
+            feats.append(f)
+        feats.append(chain.flush(state))
+        streamed = np.asarray(jnp.concatenate(feats, axis=-2))
+
+        delay_in = chain._resampler._geometry[3]
+        y = _fir.fir_apply(chain.fir_coeffs, x)
+        y_lead = jnp.concatenate(
+            [jnp.zeros(y.shape[:-1] + (delay_in,), y.dtype), y], axis=-1)
+        y2 = resample_poly(y_lead, up, down)
+        power = STFT(nfft, hop).power(y2)
+        offline = np.asarray(_mel.mfcc(power, nfft, 24, 10,
+                                       48000.0 * up / down))
+        warm = nfft // hop - 1
+        geo = (taps, up, down, nfft, hop, block, nblocks)
+        assert streamed.shape[-2] == warm + offline.shape[-2], geo
+        np.testing.assert_allclose(streamed[..., warm:, :], offline,
+                                   rtol=2e-3, atol=2e-3, err_msg=str(geo))
