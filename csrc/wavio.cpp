@@ -5,12 +5,15 @@
 // decode-to-float32-planar (the (channels, time) layout every op in the
 // framework consumes), C ABI for ctypes.
 //
-// Build: g++ -O3 -shared -fPIC -o libvvdspwav.so wavio.cpp
+// Build: g++ -O3 -shared -fPIC -o libvvdspwav.so wavio.cpp -lpthread
+#include <atomic>
 #include <cmath>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <mutex>
 #include <string>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -125,6 +128,80 @@ bool supported(const Fmt &f) {
   return false;
 }
 
+// Decode one file to float32 planar rows of `out` (row stride `stride`
+// floats). Stores at most `cap_ch` channels (extra file channels are decoded
+// and dropped) and at most `max_frames` frames. With `strict_ch`, a file
+// whose channel count differs from cap_ch is an error — the single-file API
+// uses this so a file that grew channels between vv_wav_info and the read
+// can never write past the caller's (channels, frames) buffer. Returns
+// frames decoded or -1 (g_error set).
+int64_t decode_planar(const char *path, float *out, uint64_t stride,
+                      uint64_t max_frames, uint32_t cap_ch, bool strict_ch,
+                      uint32_t *rate_out) {
+  Reader r;
+  if (!r.open(path)) return -1;
+  Fmt fmt;
+  uint64_t data_bytes = 0;
+  if (!parse_header(r, &fmt, &data_bytes)) return -1;
+  if (!supported(fmt)) return -1;
+  const uint32_t ch = fmt.channels;
+  if (strict_ch && ch != cap_ch) {
+    set_error("channel count changed: expected " + std::to_string(cap_ch) +
+              ", file has " + std::to_string(ch));
+    return -1;
+  }
+  const uint32_t store_ch = ch < cap_ch ? ch : cap_ch;
+  const uint32_t bytes_per = fmt.bits / 8;
+  uint64_t frames = data_bytes / (ch * bytes_per);
+  if (frames > max_frames) frames = max_frames;
+  if (rate_out) *rate_out = fmt.sample_rate;
+
+  const size_t CHUNK = 65536;  // frames per read
+  std::vector<uint8_t> buf(CHUNK * ch * bytes_per);
+  uint64_t done = 0;
+  while (done < frames) {
+    size_t todo = (size_t)((frames - done < CHUNK) ? frames - done : CHUNK);
+    if (!r.read(buf.data(), todo * ch * bytes_per)) return -1;
+    const uint8_t *p = buf.data();
+    if (fmt.format == 3) {  // float32
+      for (size_t i = 0; i < todo; ++i)
+        for (uint32_t c = 0; c < ch; ++c, p += 4)
+          if (c < store_ch) {
+            float v;
+            memcpy(&v, p, 4);
+            out[(uint64_t)c * stride + done + i] = v;
+          }
+    } else if (fmt.bits == 16) {
+      const float s = 1.0f / 32768.0f;
+      for (size_t i = 0; i < todo; ++i)
+        for (uint32_t c = 0; c < ch; ++c, p += 2)
+          if (c < store_ch) {
+            int16_t v = (int16_t)rd_u16(p);
+            out[(uint64_t)c * stride + done + i] = v * s;
+          }
+    } else if (fmt.bits == 24) {
+      const float s = 1.0f / 8388608.0f;
+      for (size_t i = 0; i < todo; ++i)
+        for (uint32_t c = 0; c < ch; ++c, p += 3)
+          if (c < store_ch) {
+            int32_t v = ((int32_t)p[0] << 8 | (int32_t)p[1] << 16 |
+                         (int32_t)p[2] << 24) >> 8;
+            out[(uint64_t)c * stride + done + i] = v * s;
+          }
+    } else {  // 32-bit PCM
+      const float s = 1.0f / 2147483648.0f;
+      for (size_t i = 0; i < todo; ++i)
+        for (uint32_t c = 0; c < ch; ++c, p += 4)
+          if (c < store_ch) {
+            int32_t v = (int32_t)rd_u32(p);
+            out[(uint64_t)c * stride + done + i] = v * s;
+          }
+    }
+    done += todo;
+  }
+  return (int64_t)done;
+}
+
 }  // namespace
 
 extern "C" {
@@ -159,66 +236,83 @@ int vv_wav_info(const char *path, vv_wav_info_t *out) try {
   return -1;
 }
 
-// Decode the whole file to float32 PLANAR (channels x max_frames, row-major),
-// normalizing ints to [-1, 1) by 1/2^(bits-1). `out` must hold
-// channels*max_frames floats and max_frames is BOTH the capacity and the
+// Decode the whole file to float32 PLANAR (expect_channels x max_frames,
+// row-major), normalizing ints to [-1, 1) by 1/2^(bits-1). `out` must hold
+// expect_channels*max_frames floats; max_frames is BOTH the capacity and the
 // planar stride (the caller's vv_wav_info view of the file) — decoding stops
-// at max_frames even if the file grew, so the layout can never scramble.
-// Returns the number of frames decoded, or -1 on error.
-int64_t vv_wav_read_f32(const char *path, float *out,
-                        uint64_t max_frames) try {
-  Reader r;
-  if (!r.open(path)) return -1;
-  Fmt fmt;
-  uint64_t data_bytes = 0;
-  if (!parse_header(r, &fmt, &data_bytes)) return -1;
-  if (!supported(fmt)) return -1;
-  const uint32_t ch = fmt.channels;
-  const uint32_t bytes_per = fmt.bits / 8;
-  const uint64_t stride = max_frames;  // caller-allocated planar stride
-  uint64_t frames = data_bytes / (ch * bytes_per);
-  if (frames > max_frames) frames = max_frames;
+// at max_frames even if the file grew, and a changed channel count is an
+// error, so the layout can never scramble or overflow. Returns the number
+// of frames decoded, or -1 on error.
+int64_t vv_wav_read_f32(const char *path, float *out, uint64_t max_frames,
+                        uint32_t expect_channels) try {
+  return decode_planar(path, out, /*stride=*/max_frames, max_frames,
+                       expect_channels, /*strict_ch=*/true, nullptr);
+} catch (const std::exception &e) {
+  set_error(std::string("internal error: ") + e.what());
+  return -1;
+}
 
-  const size_t CHUNK = 65536;  // frames per read
-  std::vector<uint8_t> buf(CHUNK * ch * bytes_per);
-  uint64_t done = 0;
-  while (done < frames) {
-    size_t todo = (size_t)((frames - done < CHUNK) ? frames - done : CHUNK);
-    if (!r.read(buf.data(), todo * ch * bytes_per)) return -1;
-    const uint8_t *p = buf.data();
-    if (fmt.format == 3) {  // float32
-      for (size_t i = 0; i < todo; ++i)
-        for (uint32_t c = 0; c < ch; ++c, p += 4) {
-          float v;
-          memcpy(&v, p, 4);
-          out[(uint64_t)c * stride + done + i] = v;
-        }
-    } else if (fmt.bits == 16) {
-      const float s = 1.0f / 32768.0f;
-      for (size_t i = 0; i < todo; ++i)
-        for (uint32_t c = 0; c < ch; ++c, p += 2) {
-          int16_t v = (int16_t)rd_u16(p);
-          out[(uint64_t)c * stride + done + i] = v * s;
-        }
-    } else if (fmt.bits == 24) {
-      const float s = 1.0f / 8388608.0f;
-      for (size_t i = 0; i < todo; ++i)
-        for (uint32_t c = 0; c < ch; ++c, p += 3) {
-          int32_t v = ((int32_t)p[0] << 8 | (int32_t)p[1] << 16 |
-                       (int32_t)p[2] << 24) >> 8;
-          out[(uint64_t)c * stride + done + i] = v * s;
-        }
-    } else {  // 32-bit PCM
-      const float s = 1.0f / 2147483648.0f;
-      for (size_t i = 0; i < todo; ++i)
-        for (uint32_t c = 0; c < ch; ++c, p += 4) {
-          int32_t v = (int32_t)rd_u32(p);
-          out[(uint64_t)c * stride + done + i] = v * s;
-        }
-    }
-    done += todo;
+// Batch decode: n_files WAVs into one float32 (n_files, channels,
+// capacity_frames) planar tensor (row-major), fanned out over a thread pool
+// — the framework's serving-ingest data loader. Per file i:
+//   frames_out[i] = frames decoded (files longer than the capacity are
+//   truncated, shorter ones zero-padded), or -1 on a decode error (the
+//   other files still decode; the first error message is kept for
+//   vv_wav_error_string). rates_out[i] = sample rate (0 on error).
+// Files with fewer channels than `channels` leave the extra rows zeroed;
+// extra file channels are dropped. Returns the number of failed files.
+int vv_wav_read_batch_f32(const char **paths, int n_files, float *out,
+                          uint64_t capacity_frames, uint32_t channels,
+                          int64_t *frames_out, uint32_t *rates_out,
+                          int n_threads) try {
+  if (n_files <= 0 || capacity_frames == 0 || channels == 0) {
+    set_error("bad batch geometry");
+    return n_files > 0 ? n_files : -1;
   }
-  return (int64_t)done;
+  const uint64_t slab = (uint64_t)channels * capacity_frames;
+  memset(out, 0, (uint64_t)n_files * slab * sizeof(float));
+
+  unsigned hw = std::thread::hardware_concurrency();
+  if (hw == 0) hw = 4;
+  int workers = n_threads > 0 ? n_threads : (int)hw;
+  if (workers > n_files) workers = n_files;
+
+  std::atomic<int> next(0), failed(0);
+  std::mutex err_mu;
+  std::string first_err;
+  auto work = [&]() {
+    for (;;) {
+      int i = next.fetch_add(1);
+      if (i >= n_files) return;
+      uint32_t rate = 0;
+      int64_t frames = -1;
+      try {
+        frames = decode_planar(paths[i], out + (uint64_t)i * slab,
+                               capacity_frames, capacity_frames, channels,
+                               /*strict_ch=*/false, &rate);
+      } catch (const std::exception &e) {
+        set_error(std::string("internal error: ") + e.what());
+      }
+      if (frames < 0) {
+        failed.fetch_add(1);
+        std::lock_guard<std::mutex> lk(err_mu);
+        if (first_err.empty())
+          first_err = std::string(paths[i]) + ": " + g_error;
+      }
+      frames_out[i] = frames;
+      rates_out[i] = frames < 0 ? 0 : rate;
+    }
+  };
+  if (workers <= 1) {
+    work();
+  } else {
+    std::vector<std::thread> pool;
+    pool.reserve(workers);
+    for (int t = 0; t < workers; ++t) pool.emplace_back(work);
+    for (auto &th : pool) th.join();
+  }
+  if (!first_err.empty()) set_error(first_err);  // surface on caller thread
+  return failed.load();
 } catch (const std::exception &e) {
   set_error(std::string("internal error: ") + e.what());
   return -1;

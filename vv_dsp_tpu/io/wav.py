@@ -66,7 +66,8 @@ def _build_library() -> str | None:
         return lib_path
     try:
         subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", "-o", lib_path + ".tmp", src],
+            ["g++", "-O3", "-shared", "-fPIC", "-pthread", "-o",
+             lib_path + ".tmp", src],
             check=True, capture_output=True, timeout=120)
         os.replace(lib_path + ".tmp", lib_path)
         return lib_path
@@ -87,8 +88,15 @@ def _get_lib():
         lib.vv_wav_info.argtypes = [ctypes.c_char_p, ctypes.POINTER(_CInfo)]
         lib.vv_wav_info.restype = ctypes.c_int
         lib.vv_wav_read_f32.argtypes = [
-            ctypes.c_char_p, ctypes.POINTER(ctypes.c_float), ctypes.c_uint64]
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_float), ctypes.c_uint64,
+            ctypes.c_uint32]
         lib.vv_wav_read_f32.restype = ctypes.c_int64
+        lib.vv_wav_read_batch_f32.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float), ctypes.c_uint64, ctypes.c_uint32,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_uint32),
+            ctypes.c_int]
+        lib.vv_wav_read_batch_f32.restype = ctypes.c_int
         lib.vv_wav_write.argtypes = [
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_float), ctypes.c_uint32,
             ctypes.c_uint64, ctypes.c_uint32, ctypes.c_int]
@@ -224,7 +232,7 @@ def read_wav(path: str) -> tuple[np.ndarray, int]:
     out = np.empty((info.channels, info.frames), dtype=np.float32)
     rc = lib.vv_wav_read_f32(
         path.encode(), out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        info.frames)
+        info.frames, info.channels)
     if rc < 0:
         raise ValueError(_native_error(lib))
     if rc != info.frames:
