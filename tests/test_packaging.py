@@ -34,6 +34,11 @@ def test_wheel_contents(wheel):
                 "vv_dsp_tpu/parallel/__init__.py", "vv_dsp_tpu/io/wav.py",
                 "vv_dsp_tpu/tools/dump_fft.py"):
         assert mod in names, f"{mod} missing from wheel"
+    # the vv-dsp umbrella CLI is registered as a console entry point
+    zf = zipfile.ZipFile(wheel)
+    ep = next(n for n in names if n.endswith("entry_points.txt"))
+    text = zf.read(ep).decode()
+    assert "vv-dsp = vv_dsp_tpu.tools.__main__:main" in text
 
 
 def test_installed_tree_runs(wheel, tmp_path):
