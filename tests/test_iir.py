@@ -184,3 +184,56 @@ def test_gain_distribution_low_cutoff_f32():
     got = np.asarray(viir.iir_apply(sos, jnp.asarray(x)))
     assert np.isfinite(got).all()
     assert np.abs(got - want).max() / max(1.0, np.abs(want).max()) < 3e-3
+
+
+def test_sosfilt_zi_matches_scipy():
+    for order, wn in [(4, 0.25), (7, 0.1), (6, (0.2, 0.5))]:
+        btype = "bandpass" if isinstance(wn, tuple) else "lowpass"
+        sos = sig.butter(order, wn, btype=btype, output="sos")
+        np.testing.assert_allclose(viir.sosfilt_zi_np(sos),
+                                   sig.sosfilt_zi(sos), rtol=1e-9, atol=1e-12)
+
+
+def test_iir_apply_with_zi_matches_scipy(rng):
+    sos = sig.butter(4, 0.25, output="sos")
+    zi = sig.sosfilt_zi(sos)
+    x = rng.standard_normal((2, 1000)).astype(np.float32)
+    z0 = (zi * x[..., :1, None].astype(np.float64)).astype(np.float32)
+    want, _ = sig.sosfilt(sos, x.astype(np.float64), zi=zi[:, None, :]
+                          * x[:, 0].astype(np.float64)[None, :, None],
+                          axis=-1)
+    got = np.asarray(viir.iir_apply(sos, jnp.asarray(x), zi=jnp.asarray(z0)))
+    assert np.abs(got - want).max() < 1e-4
+
+
+def test_filtfilt_sos_matches_scipy(rng):
+    """Zero-phase IIR (scipy.sosfiltfilt parity): odd-reflect padding +
+    steady-state initial conditions, forward-backward scans."""
+    for order, btype, wn in [(4, "lowpass", 0.2), (6, "highpass", 0.3),
+                             (8, "bandpass", (0.2, 0.4)),
+                             (5, "lowpass", 0.05)]:
+        sos = sig.butter(order, wn, btype=btype, output="sos")
+        x = rng.standard_normal((3, 4000)).astype(np.float32)
+        want = sig.sosfiltfilt(sos, x.astype(np.float64), axis=-1)
+        got = np.asarray(viir.filtfilt_sos(sos, jnp.asarray(x)))
+        scale = max(1e-9, np.abs(want).max())
+        assert np.abs(got - want).max() / scale < 1e-4, (order, btype)
+
+
+def test_filtfilt_sos_zero_phase_property(rng):
+    """A filtered sine keeps its phase: cross-correlation peak at lag 0."""
+    sos = viir.butter_sos(6, 0.2)
+    t = np.arange(4096)
+    x = np.sin(2 * np.pi * 0.02 * t).astype(np.float32)
+    y = np.asarray(viir.filtfilt_sos(sos, jnp.asarray(x)))
+    mid = slice(500, -500)
+    lags = range(-5, 6)
+    cors = [np.dot(y[mid], np.roll(x, L)[mid]) for L in lags]
+    assert lags[int(np.argmax(cors))] == 0
+    assert np.abs(y[mid] - x[mid]).max() < 5e-3  # passband: unity, no phase
+
+
+def test_filtfilt_sos_short_signal_raises():
+    sos = viir.butter_sos(4, 0.2)
+    with pytest.raises(ValueError):
+        viir.filtfilt_sos(sos, jnp.zeros(10))

@@ -120,20 +120,73 @@ def biquad_apply(x, b0, b1, b2, a1, a2, s_init=None):
     return y
 
 
-def iir_apply(sos, x, return_state: bool = False):
-    """Biquad cascade (vv_dsp_iir_apply, src/filter/iir.c:29-43).
+def iir_apply(sos, x, return_state: bool = False, zi=None):
+    """Biquad cascade (vv_dsp_iir_apply, src/filter/iir.c:29-43;
+    scipy.signal.sosfilt role).
 
     sos: (n_stages, 6) scipy-style [b0 b1 b2 a0 a1 a2] (a0 must be 1), or
     (n_stages, 5) reference-style [b0 b1 b2 a1 a2]. Stage loop is static.
+    zi: optional (..., n_stages, 2) per-stage DF2T entry state (z1, z2),
+    scipy's sosfilt(zi=...) convention.
     """
     states = []
     y = x
-    for b0, b1, b2, a1, a2 in normalize_sos(sos):
-        y, s = _biquad_scan(y, b0, b1, b2, a1, a2)
+    for k, (b0, b1, b2, a1, a2) in enumerate(normalize_sos(sos)):
+        s0 = None if zi is None else jnp.asarray(zi)[..., k, :]
+        y, s = _biquad_scan(y, b0, b1, b2, a1, a2, s_init=s0)
         states.append(s)
     if return_state:
         return y, jnp.stack(states, axis=-2)
     return y
+
+
+def sosfilt_zi_np(sos) -> np.ndarray:
+    """scipy.signal.sosfilt_zi: per-stage DF2T steady state for a unit-step
+    input, cascading each stage's DC gain into the next stage's scale.
+    Host-side float64. Returns (n_stages, 2)."""
+    sos = normalize_sos(sos)
+    zis = np.empty((len(sos), 2), dtype=np.float64)
+    scale = 1.0
+    for k, (b0, b1, b2, a1, a2) in enumerate(sos):
+        A = np.array([[-a1, 1.0], [-a2, 0.0]])
+        B = np.array([b1 - a1 * b0, b2 - a2 * b0])
+        zis[k] = scale * np.linalg.solve(np.eye(2) - A, B)
+        scale *= (b0 + b1 + b2) / (1.0 + a1 + a2)  # stage DC gain
+    return zis
+
+
+def filtfilt_sos(sos, x, padlen: int | None = None):
+    """Zero-phase IIR: scipy.signal.sosfiltfilt parity (forward-backward
+    cascade with odd-reflect padding and steady-state initial conditions).
+
+    The IIR complement of filtfilt_fir (src/filter/common.c:23-80) — the
+    reference has no IIR zero-phase path; with the butter/cheby designs this
+    completes the scipy zero-phase workflow on the associative-scan kernels.
+    Each directional pass is the same O(log n)-depth scan as iir_apply.
+    """
+    sos = normalize_sos(sos)
+    n = x.shape[-1]
+    if padlen is None:
+        ntaps = 2 * len(sos) + 1
+        ntaps -= int(min((sos[:, 2] == 0).sum(), (sos[:, 4] == 0).sum()))
+        padlen = 3 * ntaps  # scipy's default edge size
+    if padlen >= n:
+        raise ValueError(
+            f"signal length {n} must exceed padlen {padlen}")
+    if not jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating):
+        x = jnp.asarray(x, jnp.float32)
+    if padlen > 0:
+        left = 2.0 * x[..., :1] - x[..., padlen:0:-1]
+        right = 2.0 * x[..., -1:] - x[..., -2:-padlen - 2:-1]
+        ext = jnp.concatenate([left, x, right], axis=-1)
+    else:
+        ext = x
+    zi = jnp.asarray(sosfilt_zi_np(sos), dtype=ext.dtype)
+    fwd = iir_apply(sos, ext, zi=zi * ext[..., :1, None])
+    rev = fwd[..., ::-1]
+    bwd = iir_apply(sos, rev, zi=zi * rev[..., :1, None])
+    out = bwd[..., ::-1]
+    return out[..., padlen:padlen + n] if padlen > 0 else out
 
 
 def lfilter(b, a, x):
