@@ -1,0 +1,123 @@
+"""Stockham-FFT Pallas kernels (interpret mode on CPU): the fused
+STFT->mel kernel must match the XLA power-parts path and a float64 oracle;
+the row->bin permutation must match np.fft exactly."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from vv_dsp_tpu.ops import mel as _mel
+from vv_dsp_tpu.ops import pallas_fft as pf
+from vv_dsp_tpu.ops.stft import STFT
+from vv_dsp_tpu.ops.window import get_window_np
+
+
+def _mel_ref_xla(x, nfft, hop, n_mels, sr, window="hann", fmin=0.0,
+                 fmax=None, variant="htk"):
+    plan = STFT(nfft, hop, window)
+    re, im = plan.power_parts(x)
+    return _mel.mel_energies_from_power_parts(re, im, nfft, n_mels, sr,
+                                              fmin, fmax, variant)
+
+
+def test_row_to_bin_perm_matches_npfft():
+    """Butterflies-to-lstop + DFT-lstop with row p = lstop*b + k must hold
+    bin k*(nfft//lstop) + bitrev(b): run the split pipeline in numpy."""
+    n, lstop, B = 512, 64, 3
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((n, B)) + 1j * rng.standard_normal((n, B))
+    s = x.copy()
+    l = n
+    while l > lstop:
+        r, h = n // l, l // 2
+        v = s.reshape(r, 2, h, B)
+        a, b = v[:, 0], v[:, 1]
+        w = np.exp(-2j * np.pi * np.arange(h) / l)[None, :, None]
+        s = np.stack([a + b, (a - b) * w], axis=1).reshape(n, B)
+        l //= 2
+    d = np.exp(-2j * np.pi * np.outer(np.arange(lstop), np.arange(lstop))
+               / lstop)
+    out = np.zeros_like(s)
+    for b in range(n // lstop):
+        out[b * lstop:(b + 1) * lstop] = d @ s[b * lstop:(b + 1) * lstop]
+    ref = np.fft.fft(x, axis=0)
+    np.testing.assert_allclose(out, ref[pf.row_to_bin_perm(n, lstop)],
+                               rtol=1e-9, atol=1e-9)
+
+
+@pytest.mark.parametrize("nfft,hop,win,n", [
+    (256, 64, "hann", 4000),
+    (512, 128, "hamming", 3000),
+    (512, 512, "hann", 2100),     # hop == nfft (q == 1)
+    (256, 64, "blackman", 100),   # n < nfft: single zero-padded frame
+    (128, 32, "hann", 1000),      # smallest supported nfft
+])
+def test_stft_mel_pallas_matches_xla(rng, nfft, hop, win, n):
+    x = jnp.asarray(rng.standard_normal((2, n)).astype(np.float32))
+    want = _mel_ref_xla(x, nfft, hop, 26, 16000.0, window=win)
+    got = pf.stft_mel_energies_pallas(x, nfft, hop, 26, 16000.0, window=win)
+    assert got.shape == want.shape
+    scale = float(jnp.max(jnp.abs(want))) + 1e-30
+    np.testing.assert_allclose(np.asarray(got) / scale,
+                               np.asarray(want) / scale,
+                               rtol=0, atol=3e-6)
+
+
+def test_stft_mel_pallas_vs_float64_oracle(rng):
+    nfft, hop, n_mels, sr = 512, 128, 26, 16000.0
+    x_np = rng.standard_normal((2, 4000)).astype(np.float32)
+    w64 = get_window_np("hann", nfft, None)
+    nf = 1 + (4000 - nfft + hop) // hop
+    xp = np.pad(x_np, ((0, 0), (0, (nf - 1) * hop + nfft - 4000)))
+    frames = np.stack([xp[:, f * hop:f * hop + nfft] for f in range(nf)],
+                      axis=1).astype(np.float64)
+    p64 = np.abs(np.fft.rfft(frames * w64, axis=-1)) ** 2
+    fb64 = _mel.mel_filterbank_np(nfft, n_mels, sr, 0.0, sr / 2, "htk")
+    ref = p64 @ fb64.T
+    got = np.asarray(pf.stft_mel_energies_pallas(x_np, nfft, hop, n_mels, sr))
+    assert (np.abs(got - ref) / np.abs(ref).max()).max() < 2e-6
+
+
+def test_stft_mel_pallas_fmin_fmax_variant(rng):
+    x = jnp.asarray(rng.standard_normal((1, 3000)).astype(np.float32))
+    kw = dict(fmin=300.0, fmax=6000.0, variant="slaney")
+    want = _mel_ref_xla(x, 256, 64, 20, 16000.0, **kw)
+    got = pf.stft_mel_energies_pallas(x, 256, 64, 20, 16000.0, **kw)
+    scale = float(jnp.max(jnp.abs(want))) + 1e-30
+    np.testing.assert_allclose(np.asarray(got) / scale,
+                               np.asarray(want) / scale, rtol=0, atol=3e-6)
+
+
+def test_supported_gate():
+    assert pf.stft_mel_supported(2048, 512)
+    assert pf.stft_mel_supported(128, 8)
+    assert not pf.stft_mel_supported(4096, 1024)   # VMEM cap
+    assert not pf.stft_mel_supported(2048, 500)    # hop does not divide
+    assert not pf.stft_mel_supported(1000, 250)    # not pow2
+    assert not pf.stft_mel_supported(2048, 4)      # hop not sublane-aligned
+    assert not pf.stft_mel_supported(64, 16)       # below min nfft
+
+
+def test_mel_energies_stft_dispatch_fallback(rng):
+    """Unsupported geometry must route to the XLA path with equal results."""
+    x = jnp.asarray(rng.standard_normal((2, 3000)).astype(np.float32))
+    got = _mel.mel_energies_stft(x, 250, 125, 20, 16000.0)  # non-pow2
+    plan = STFT(250, 125, "hann")
+    power = plan.power(x)
+    fb = jnp.asarray(_mel.mel_filterbank_np(250, 20, 16000.0, 0.0, 8000.0,
+                                            "htk"), dtype=power.dtype)
+    want = jnp.einsum("...fb,mb->...fm", power, fb)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_mfcc_stft_matches_power_parts_composition(rng):
+    x = jnp.asarray(rng.standard_normal((2, 4000)).astype(np.float32))
+    nfft, hop, n_mels, n_mfcc, sr = 512, 128, 26, 13, 16000.0
+    plan = STFT(nfft, hop, "hann")
+    re, im = plan.power_parts(x)
+    want = _mel.mfcc_from_power_parts(re, im, nfft, n_mels, n_mfcc, sr,
+                                      lifter=22.0)
+    got = _mel.mfcc_stft(x, nfft, hop, n_mels, n_mfcc, sr, lifter=22.0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=0, atol=2e-4)

@@ -79,13 +79,10 @@ class NorthStarChain:
             y = _pk.fir_apply_best(self.fir_coeffs, x)
             y = _pk.resample_poly_best(y, self.up, self.down)
         sr = self.sample_rate * self.up / self.down
-        if self.stft_plan.supports_direct():
-            # power array never hits HBM: mel projects the rfft parts
-            re, im = self.stft_plan.power_parts(y)
-            return _mel.mfcc_from_power_parts(re, im, self.nfft, self.n_mels,
-                                              self.n_mfcc, sr)
-        power = self.stft_plan.power(y)  # fused |rfft|^2, no complex HBM trip
-        return _mel.mfcc(power, self.nfft, self.n_mels, self.n_mfcc, sr)
+        # best-path STFT->mel: fused Stockham Pallas kernel on TPU (no
+        # frames/spectrum/power in HBM), power-parts matmuls otherwise
+        return _mel.mfcc_stft(y, self.nfft, self.hop, self.n_mels,
+                              self.n_mfcc, sr, window=self.window)
 
     def apply_sharded(self, x, mesh):
         """Multi-chip execution: FIR and resample run as halo-exchange
@@ -201,13 +198,7 @@ class MFCCFrontend:
     def __call__(self, x):
         """x: (channels, n) -> (channels, frames, n_mfcc)."""
         x = _promote_audio(x)
-        if self.stft_plan.supports_direct():
-            re, im = self.stft_plan.power_parts(x)
-            return _mel.mfcc_from_power_parts(
-                re, im, self.nfft, self.n_mels, self.n_mfcc,
-                self.sample_rate, fmin=self.fmin, fmax=self.fmax,
-                lifter=self.lifter)
-        power = self.stft_plan.power(x)
-        return _mel.mfcc(power, self.nfft, self.n_mels, self.n_mfcc,
-                         self.sample_rate, fmin=self.fmin, fmax=self.fmax,
-                         lifter=self.lifter)
+        return _mel.mfcc_stft(x, self.nfft, self.hop, self.n_mels,
+                              self.n_mfcc, self.sample_rate,
+                              window=self.window, fmin=self.fmin,
+                              fmax=self.fmax, lifter=self.lifter)

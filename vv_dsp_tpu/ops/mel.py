@@ -27,6 +27,7 @@ from __future__ import annotations
 import functools
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from vv_dsp_tpu import config
@@ -177,3 +178,47 @@ def mfcc(power_spec, n_fft: int, n_mels: int, n_coeffs: int, sample_rate: float,
     lm = log_mel_spectrogram(power_spec, n_fft, n_mels, sample_rate, fmin,
                              fmax, log_epsilon, variant)
     return mfcc_from_log_mel(lm, n_coeffs, lifter)
+
+
+def mel_energies_stft(x, nfft: int, hop: int, n_mels: int,
+                      sample_rate: float, window: str = "hann",
+                      window_param=None, fmin: float = 0.0,
+                      fmax: float | None = None, variant: str = "htk"):
+    """Signal -> STFT mel energies, best-path dispatch: the fused Stockham
+    Pallas kernel on TPU when the geometry allows (no frames / spectrum /
+    power array ever in HBM; ops/pallas_fft.py), else the framing-free
+    power-parts matmul path, else the plain power spectrogram."""
+    from vv_dsp_tpu.ops import pallas_fft as _pf
+    from vv_dsp_tpu.ops.stft import STFT
+
+    if (x.ndim == 2 and not jnp.iscomplexobj(x)
+            and _pf.stft_mel_supported(nfft, hop)
+            and jax.default_backend() == "tpu"):
+        return _pf.stft_mel_energies_pallas(
+            x, nfft, hop, n_mels, sample_rate, window, window_param,
+            fmin, fmax, variant)
+    plan = STFT(nfft, hop, window, window_param)
+    if plan.supports_direct() and not jnp.iscomplexobj(x):
+        re, im = plan.power_parts(x)
+        return mel_energies_from_power_parts(re, im, nfft, n_mels,
+                                             sample_rate, fmin, fmax, variant)
+    power = plan.power(x)
+    if fmax is None:
+        fmax = sample_rate / 2.0
+    fb = jnp.asarray(
+        mel_filterbank_np(nfft, n_mels, float(sample_rate), float(fmin),
+                          float(fmax), variant), dtype=power.dtype)
+    return jnp.einsum("...fb,mb->...fm", power, fb,
+                      precision=config.MATMUL_PRECISION)
+
+
+def mfcc_stft(x, nfft: int, hop: int, n_mels: int, n_coeffs: int,
+              sample_rate: float, window: str = "hann", window_param=None,
+              fmin: float = 0.0, fmax: float | None = None,
+              log_epsilon: float = 1e-10, lifter: float = 0.0,
+              variant: str = "htk"):
+    """Signal -> MFCC via the best fused STFT->mel path (see
+    mel_energies_stft); log + DCT-II + lifter are the cheap tail."""
+    mel_e = mel_energies_stft(x, nfft, hop, n_mels, sample_rate, window,
+                              window_param, fmin, fmax, variant)
+    return mfcc_from_log_mel(jnp.log(mel_e + log_epsilon), n_coeffs, lifter)

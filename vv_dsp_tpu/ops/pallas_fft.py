@@ -1,0 +1,281 @@
+"""Fused Stockham-FFT Pallas kernels (the O(N log N) on-chip transform tier).
+
+The reference computes STFT spectra with an O(N log N) radix-2 kernel per
+frame (src/spectral/fft_kiss.c:27-74) and builds mel/MFCC features from them
+(src/features/mel.c:204-309). The repo's XLA paths compute the same thing as
+dense matmul-DFTs — MXU-optimal for their (inflated) O(N^2) FLOPs, but at
+nfft=2048 the basis matmul alone runs ~94% of the MXU bf16 peak, i.e. the
+dense form is at ITS speed-of-light and still 6.5x more FLOPs than an FFT.
+
+This kernel gets the FFT's FLOP count at TPU speed by splitting the
+transform between the two compute units:
+
+- radix-2 DIF butterfly stages run on the VPU while the butterfly half-span
+  is large (>= 32 rows): each stage is two elementwise passes over a
+  (nfft, 128-frames) VMEM tile — contiguous row chunks, no shuffles. In-place
+  DIF needs no bit-reversal pass; bins come out in a fixed permuted row
+  order that downstream LINEAR consumers absorb into their own constants.
+- the last log2(lstop) stages — whose half-spans would shrink below the
+  8-row f32 sublane and force Mosaic relayouts (measured ~4 ms of an 11-stage
+  all-butterfly kernel) — are folded into ONE packed-complex DFT-lstop
+  matmul per 64-row block on the MXU:  [Or; Oi] = [[Dr,-Di],[Di,Dr]] @
+  [Sr; Si], a full-tile (128,128)x(128,tk) dot.
+
+Row -> bin mapping after the tail (verified against np.fft.fft):
+    row p = lstop*b + k   holds   bin k*(nfft//lstop) + bitrev(b)
+with bitrev over log2(nfft//lstop) bits.
+
+stft_mel_energies_pallas fuses the whole STFT->mel front half of the MFCC
+pipeline: hop-blocked signal DMA -> frame tile (time on sublanes, frames on
+lanes) -> window -> FFT -> |.|^2 -> mel projection, where the mel matrix is
+Hermitian-folded onto all nfft bins and column-permuted by the row->bin map,
+so neither the frames array, the spectrum, nor the power ever exist in HBM.
+Measured (v5e, 16ch x 639k samples, nfft 2048/hop 512/80 mels): 3.9 ms vs
+10.2 ms for the hop-block einsum path, with max|err| vs a float64 oracle of
+1.5e-7 x scale (the dense-basis path: 2.8e-7).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from vv_dsp_tpu import config
+
+
+_LSTOP = 64  # butterfly/matmul split point (see module docstring)
+_TK = 128    # frames per grid step (lane width)
+
+
+def _on_tpu() -> bool:
+    return jax.default_backend() == "tpu"
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _bitrev_perm(nb: int) -> np.ndarray:
+    """Bit-reversal permutation of range(nb), nb a power of two."""
+    bits = nb.bit_length() - 1
+    idx = np.arange(nb)
+    out = np.zeros(nb, dtype=np.int64)
+    for i in range(bits):
+        out = (out << 1) | ((idx >> i) & 1)
+    return out
+
+
+def row_to_bin_perm(nfft: int, lstop: int = _LSTOP) -> np.ndarray:
+    """bin index held by each output row p of the split-radix pipeline."""
+    nb = nfft // lstop
+    brv = _bitrev_perm(nb)
+    p = np.arange(nfft)
+    return (p % lstop) * nb + brv[p // lstop]
+
+
+@functools.lru_cache(maxsize=32)
+def _stage_twiddles(nfft: int, n_stages: int):
+    """(n_stages, nfft//2) cos/sin tables; stage s covers span l = nfft>>s."""
+    twr = np.zeros((max(n_stages, 1), nfft // 2), np.float32)
+    twi = np.zeros((max(n_stages, 1), nfft // 2), np.float32)
+    l = nfft
+    for s in range(n_stages):
+        h = l // 2
+        ang = -2.0 * np.pi * np.arange(h) / l
+        twr[s, :h] = np.cos(ang)
+        twi[s, :h] = np.sin(ang)
+        l //= 2
+    return twr, twi
+
+
+@functools.lru_cache(maxsize=4)
+def _packed_dft(lstop: int) -> np.ndarray:
+    """(2*lstop, 2*lstop) real matrix: [Or; Oi] = Dp @ [Sr; Si]."""
+    d = np.exp(-2j * np.pi * np.outer(np.arange(lstop), np.arange(lstop))
+               / lstop)
+    return np.block([[d.real, -d.imag],
+                     [d.imag, d.real]]).astype(np.float32)
+
+
+@functools.lru_cache(maxsize=16)
+def _folded_mel_matrix(nfft: int, n_mels: int, sample_rate: float,
+                       fmin: float, fmax: float, variant: str,
+                       lstop: int) -> np.ndarray:
+    """Mel filterbank extended to all nfft bins via the real-input Hermitian
+    power fold (p[k] == p[nfft-k]), then column-permuted to the kernel's row
+    order and zero-padded to 128 rows. Matches
+    mel_filterbank_np @ onesided-power exactly for real signals."""
+    from vv_dsp_tpu.ops import mel as _mel
+
+    fb = _mel.mel_filterbank_np(nfft, n_mels, sample_rate, fmin, fmax,
+                                variant).astype(np.float32)
+    w2 = np.zeros((n_mels, nfft), np.float32)
+    w2[:, : nfft // 2 + 1] = fb
+    w2[:, 1 : nfft // 2] *= 0.5
+    w2[:, nfft // 2 + 1 :] = w2[:, 1 : nfft // 2][:, ::-1]
+    w2p = w2[:, row_to_bin_perm(nfft, lstop)]
+    out = np.zeros((_round_up(n_mels, 128), nfft), np.float32)
+    out[:n_mels] = w2p
+    return out
+
+
+def stft_mel_supported(nfft: int, hop: int, n: int | None = None) -> bool:
+    """Geometry the fused kernel handles: pow2 nfft in [128, 2048] (VMEM
+    bound: the (nfft, 128) re/im tiles plus stage temporaries), hop | nfft,
+    sublane-aligned hop. Anything else falls back to the XLA paths."""
+    return (128 <= nfft <= 2048 and nfft & (nfft - 1) == 0
+            and hop > 0 and nfft % hop == 0 and hop % 8 == 0)
+
+
+def _stft_mel_kernel(xt_hbm, w_ref, twr_ref, twi_ref, dp_ref, mel_ref,
+                     out_ref, xv, sre_ref, sim_ref, sem, *,
+                     nfft, hop, q, tk, lanes_p, n_stages, lstop):
+    c = pl.program_id(0)
+    fbk = pl.program_id(1)
+    dma = pltpu.make_async_copy(
+        xt_hbm.at[c, :, pl.ds(fbk * tk, lanes_p)], xv, sem)
+    dma.start()
+    dma.wait()
+
+    # frame tile: row r*hop+s of frame f is xt[s, f+r]; the +r lane shift is
+    # a roll (DMA lane offsets must be 128-aligned, so it can't shift)
+    xvv = xv[:]
+    for r in range(q):
+        part = xvv if r == 0 else pltpu.roll(xvv, lanes_p - r, 1)
+        sre_ref[r * hop:(r + 1) * hop, :] = (
+            part[:, :tk] * w_ref[r * hop:(r + 1) * hop, :])
+
+    # DIF butterfly stages on the VPU (stage 0 specialized: imag == 0)
+    l = nfft
+    if n_stages >= 1:
+        h = l // 2
+        a = sre_ref[:h, :]
+        b = sre_ref[h:, :]
+        wr = twr_ref[0, :h].reshape(h, 1)
+        wi = twi_ref[0, :h].reshape(h, 1)
+        d0 = a - b
+        sre_ref[:h, :] = a + b
+        sre_ref[h:, :] = d0 * wr
+        sim_ref[:h, :] = jnp.zeros((h, tk), jnp.float32)
+        sim_ref[h:, :] = d0 * wi
+        l //= 2
+    else:
+        sim_ref[:, :] = jnp.zeros((nfft, tk), jnp.float32)
+    for stage in range(1, n_stages):
+        r_ = nfft // l
+        h = l // 2
+        vr = sre_ref[:].reshape(r_, 2, h, tk)
+        vi = sim_ref[:].reshape(r_, 2, h, tk)
+        ar, br = vr[:, 0], vr[:, 1]
+        ai, bi = vi[:, 0], vi[:, 1]
+        wr = twr_ref[stage, :h].reshape(1, h, 1)
+        wi = twi_ref[stage, :h].reshape(1, h, 1)
+        dr = ar - br
+        di = ai - bi
+        sre_ref[:, :] = jnp.stack(
+            [ar + br, dr * wr - di * wi], axis=1).reshape(nfft, tk)
+        sim_ref[:, :] = jnp.stack(
+            [ai + bi, dr * wi + di * wr], axis=1).reshape(nfft, tk)
+        l //= 2
+
+    # DFT-lstop tail on the MXU, power written in place (block b's output
+    # depends only on block b's state)
+    dpv = dp_ref[:]
+    for b_ in range(nfft // lstop):
+        lo = b_ * lstop
+        packed = jnp.concatenate(
+            [sre_ref[lo:lo + lstop, :], sim_ref[lo:lo + lstop, :]], axis=0)
+        o = jnp.dot(dpv, packed, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+        orr, oi = o[:lstop], o[lstop:]
+        sre_ref[lo:lo + lstop, :] = orr * orr + oi * oi
+
+    mel_e = jnp.dot(mel_ref[:], sre_ref[:],
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+    out_ref[0, :, :] = mel_e.T
+
+
+def stft_mel_energies_pallas(x, nfft: int, hop: int, n_mels: int,
+                             sample_rate: float, window: str = "hann",
+                             window_param=None, fmin: float = 0.0,
+                             fmax: float | None = None,
+                             variant: str = "htk",
+                             interpret: bool | None = None):
+    """Fused STFT power -> mel energies: (channels, n) real ->
+    (channels, frames, n_mels) f32. Numerically equivalent (f32 rounding) to
+    mel_energies_from_power_parts(*STFT(...).power_parts(x), ...); frame
+    count and tail zero-padding match STFT.num_frames / spectrogram
+    (src/spectral/stft.c:118,124-137)."""
+    from vv_dsp_tpu.ops.window import get_window_np
+
+    if interpret is None:
+        interpret = not _on_tpu()
+    if not stft_mel_supported(nfft, hop):
+        raise ValueError("unsupported geometry; check stft_mel_supported()")
+    if jnp.iscomplexobj(x):
+        raise TypeError("stft_mel_energies_pallas requires real input")
+    if x.ndim != 2:
+        raise ValueError("expected (channels, n)")
+    x = config.as_compute(x)
+    if x.dtype != jnp.float32:
+        x = x.astype(jnp.float32)
+    if fmax is None:
+        fmax = sample_rate / 2.0
+
+    c, n = x.shape
+    q = nfft // hop
+    tk = _TK
+    lstop = min(_LSTOP, nfft)
+    n_stages = (nfft // lstop).bit_length() - 1
+    nf = 1 if n < nfft else 1 + (n - nfft + hop) // hop
+    nf_p = _round_up(nf, tk)
+    lanes_p = _round_up(tk + q - 1, 128)
+    nb = nf_p - tk + lanes_p
+    xp = jnp.pad(x, ((0, 0), (0, nb * hop - n)))
+    xt = jnp.swapaxes(xp.reshape(c, nb, hop), -1, -2)  # (c, hop, nb)
+
+    w_np = get_window_np(window, nfft, window_param).astype(np.float32)
+    twr, twi = _stage_twiddles(nfft, n_stages)
+    dp = _packed_dft(lstop)
+    melm = _folded_mel_matrix(nfft, n_mels, float(sample_rate), float(fmin),
+                              float(fmax), variant, lstop)
+    mels_p = melm.shape[0]
+
+    kernel = functools.partial(
+        _stft_mel_kernel, nfft=nfft, hop=hop, q=q, tk=tk, lanes_p=lanes_p,
+        n_stages=n_stages, lstop=lstop)
+    out = pl.pallas_call(
+        kernel,
+        grid=(c, nf_p // tk),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec((nfft, 1), lambda c, f: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(twr.shape, lambda c, f: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(twi.shape, lambda c, f: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(dp.shape, lambda c, f: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(melm.shape, lambda c, f: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tk, mels_p), lambda c, f: (c, f, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((c, nf_p, mels_p), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((hop, lanes_p), jnp.float32),
+            pltpu.VMEM((nfft, tk), jnp.float32),
+            pltpu.VMEM((nfft, tk), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(xt, jnp.asarray(w_np.reshape(nfft, 1)), jnp.asarray(twr),
+      jnp.asarray(twi), jnp.asarray(dp), jnp.asarray(melm))
+    return out[:, :nf, :n_mels]
