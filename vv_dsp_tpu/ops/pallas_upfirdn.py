@@ -1,0 +1,163 @@
+"""Banded-matmul upfirdn Pallas kernel — the head primitive for FIR,
+polyphase resampling, and the fused FIR+resample chain head.
+
+The op is y[k] = sum_j x[j] * g[offset + k*down - j*up] (reference hot loops:
+src/filter/fir.c:170-193, src/resample/resampler.c:88-119). Every XLA
+formulation measured on v5e loses to structure, not FLOPs: stream-split /
+phase-interleave transposes with 3-4 wide minor dims cost ~1.7 ms each
+(XLA's narrow-minor emitters), per-term shifted slices relayout on misaligned
+sublanes, and lax.conv is ~500x off. This kernel removes ALL of that:
+
+- the signal is time-blocked: segment m holds outputs [m*b_out, (m+1)*b_out)
+  and reads inputs [j_lo0 + m*b_in, ...+k_w) where b_in = b_out*down/up
+  (b_out a multiple of `up` makes every segment share ONE weight matrix);
+- segments ride the LANE axis (128 per grid step), input rows the sublanes;
+  the cross-segment halo (k_w - b_in rows) comes from neighbor lanes via
+  pltpu.roll over a 256-lane DMA window — no unaligned DMA, no transposes;
+- the whole segment is ONE MXU dot W (b_out, k_w) @ X_ext (k_w, 128); W is
+  the banded upfirdn matrix, dense-with-zeros — the MXU eats the band waste
+  at full-tile speed where every "clever" sparse structure dies on layout;
+- output rows are already natural time order: the only post-op is one
+  large-minor-dim XLA transpose (cheap).
+
+Measured (v5e, 16ch x 479k f32, chained timing incl. ~1.3 ms/iter harness
+floor): fused 1024-tap FIR + 4/3 resample 3.8 ms vs 7.1 ms for the tall
+banded einsum; 4/3 resample alone 3.4 ms vs 6.9 ms for the per-phase strided
+Pallas kernel.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+_W_VMEM_CAP = 6 * 1024 * 1024   # resident weight matrix budget (bytes)
+_EXT_ROWS_CAP = 4096            # ext scratch rows (k_w) cap
+_B_IN_CAP = 2048                # DMA window rows cap
+
+
+def _on_tpu() -> bool:
+    return jax.default_backend() == "tpu"
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _geometry(up: int, down: int, len_g: int, offset: int, b_out: int):
+    """(b_in, j_lo0, k_wp) for a segment of b_out outputs."""
+    b_in = b_out * down // up
+    j_lo0 = -(-(offset - len_g + 1) // up)
+    j_hi = (offset + (b_out - 1) * down) // up
+    k_wp = _round_up(j_hi - j_lo0 + 1, 8)
+    return b_in, j_lo0, k_wp
+
+
+def pick_b_out(up: int, down: int, len_g: int, offset: int) -> int | None:
+    """Largest segment length whose weight matrix and scratch fit VMEM;
+    None when no candidate fits (huge filters / extreme ratios)."""
+    for base in (2048, 1024, 512, 256, 128):
+        b_out = _round_up(base, up)
+        b_in, _, k_wp = _geometry(up, down, len_g, offset, b_out)
+        if (b_out * k_wp * 4 <= _W_VMEM_CAP and k_wp <= _EXT_ROWS_CAP
+                and b_in <= _B_IN_CAP and b_out <= 4096):
+            return b_out
+    return None
+
+
+def banded_supported(up: int, down: int, len_g: int, offset: int) -> bool:
+    return (up >= 1 and down >= 1 and up <= 512
+            and pick_b_out(up, down, len_g, offset) is not None)
+
+
+@functools.lru_cache(maxsize=32)
+def _band_matrix(g_key, up: int, down: int, offset: int, b_out: int,
+                 j_lo0: int, k_wp: int) -> np.ndarray:
+    g = np.asarray(g_key, dtype=np.float64)
+    t = np.arange(b_out)[:, None]
+    i = np.arange(k_wp)[None, :]
+    gi = offset + t * down - (j_lo0 + i) * up
+    valid = (gi >= 0) & (gi < len(g))
+    return np.where(valid, g[np.clip(gi, 0, len(g) - 1)],
+                    0.0).astype(np.float32)
+
+
+def _kern(xt_hbm, w_ref, out_ref, xv, ext, sem, *, b_in, k_wp, n_roll):
+    cch = pl.program_id(0)
+    jb = pl.program_id(1)
+    dma = pltpu.make_async_copy(
+        xt_hbm.at[cch, :, pl.ds(jb * 128, 256)], xv, sem)
+    dma.start()
+    dma.wait()
+    # ext rows [a*b_in, ...) come from lane-neighbor block m+a (roll within
+    # the 256-lane window so lane 127 reads lane 128, not a wraparound)
+    for a in range(n_roll):
+        lo = a * b_in
+        if lo >= k_wp:
+            break
+        hi = min(k_wp, lo + b_in)
+        src = xv[:] if a == 0 else pltpu.roll(xv[:], 256 - a, 1)
+        ext[lo:hi, :] = src[: hi - lo, :128]
+    out_ref[0, :, :] = jnp.dot(w_ref[:], ext[:],
+                               preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.HIGHEST)
+
+
+def upfirdn_banded_pallas(x, g, up: int, down: int, offset: int, n_out: int,
+                          b_out: int | None = None,
+                          interpret: bool | None = None):
+    """y[k] = sum_j x[j] g[offset + k*down - j*up], k in [0, n_out);
+    x: (channels, n) f32, g: host-side taps. Zero-padded edges (the
+    _upfirdn_gather semantics); sample-exact vs it (tested)."""
+    if interpret is None:
+        interpret = not _on_tpu()
+    g = np.asarray(g, dtype=np.float64)
+    len_g = len(g)
+    if b_out is None:
+        b_out = pick_b_out(up, down, len_g, offset)
+        if b_out is None:
+            raise ValueError("no VMEM-feasible segment size; "
+                             "check banded_supported() first")
+    if x.dtype != jnp.float32:
+        x = x.astype(jnp.float32)
+    c_, n_in = x.shape
+    b_in, j_lo0, k_wp = _geometry(up, down, len_g, offset, b_out)
+
+    nblk_p = _round_up(-(-n_out // b_out), 128) + 128  # +128: lane halo
+    total = nblk_p * b_in
+    lo = j_lo0
+    pad_l = max(0, -lo)
+    pad_r = max(0, lo + total - n_in)
+    xw = jnp.pad(x, ((0, 0), (pad_l, pad_r)))[:, lo + pad_l: lo + pad_l + total]
+    xt = jnp.swapaxes(xw.reshape(c_, nblk_p, b_in), -1, -2)  # (C, b_in, nblk)
+
+    w_np = _band_matrix(tuple(g), up, down, offset, b_out, j_lo0, k_wp)
+    n_roll = -(-k_wp // b_in) + 1
+
+    kernel = functools.partial(_kern, b_in=b_in, k_wp=k_wp, n_roll=n_roll)
+    out = pl.pallas_call(
+        kernel,
+        grid=(c_, nblk_p // 128 - 1),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(w_np.shape, lambda c, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, b_out, 128), lambda c, j: (c, 0, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((c_, b_out, nblk_p), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((b_in, 256), jnp.float32),
+            pltpu.VMEM((k_wp, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(xt, jnp.asarray(w_np))
+    y = jnp.swapaxes(out, -1, -2).reshape(c_, nblk_p * b_out)
+    return y[:, :n_out]

@@ -427,13 +427,20 @@ def fir_resample_fused(h_fir, x, up: int, down: int,
     n_out = -(-n_in * up // down)
     gf, offset = _fused_fir_resample_filter(tuple(h_np), up, down)
     taps_pp = -(-len(gf) // up)
-    if group is None:
-        # frame stride ~ taps_pp (group*down ~ taps_pp): measured best on
-        # v5e at the flagship geometry (sweep 64/128/177/256/354 ->
-        # 10.7/9.1/8.7/8.3/8.2 ms); wider frames amortize the band's
-        # zero-fill across taller MXU tiles
-        group = max(1, int(round(taps_pp / down)))
-    y = _upfirdn_tall(gf, x, up, down, offset, n_out, group)
+    from vv_dsp_tpu.ops import pallas_upfirdn as _pu
+    if (jax.default_backend() == "tpu" and x.ndim == 2
+            and _pu.banded_supported(up, down, len(gf), offset)):
+        # banded-matmul Pallas kernel: 3.8 vs 7.1 ms at flagship geometry
+        # (see ops/pallas_upfirdn.py)
+        y = _pu.upfirdn_banded_pallas(x, gf, up, down, offset, n_out)
+    else:
+        if group is None:
+            # frame stride ~ taps_pp (group*down ~ taps_pp): measured best on
+            # v5e at the flagship geometry (sweep 64/128/177/256/354 ->
+            # 10.7/9.1/8.7/8.3/8.2 ms); wider frames amortize the band's
+            # zero-fill across taller MXU tiles
+            group = max(1, int(round(taps_pp / down)))
+        y = _upfirdn_tall(gf, x, up, down, offset, n_out, group)
 
     # exact staged tail: first output whose window crosses the FIR tail
     # (clamped — for signals shorter than the resample filter's half-length
