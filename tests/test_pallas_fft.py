@@ -121,3 +121,43 @@ def test_mfcc_stft_matches_power_parts_composition(rng):
     got = _mel.mfcc_stft(x, nfft, hop, n_mels, n_mfcc, sr, lifter=22.0)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=0, atol=2e-4)
+
+
+def _gate_ref(x_padded, nfft, hop, threshold, window="hann"):
+    """Staged parts-path gate on the padded signal (SpectralGate body)."""
+    plan = STFT(nfft, hop, window)
+    re, im = plan.power_parts(x_padded)
+    p2 = re * re + im * im
+    peak2 = jnp.max(p2, axis=-1, keepdims=True)
+    keep = p2 >= (threshold * threshold) * peak2
+    zero = jnp.zeros_like(re)
+    return plan.reconstruct_parts(jnp.where(keep, re, zero),
+                                  jnp.where(keep, im, zero),
+                                  x_padded.shape[-1])
+
+
+@pytest.mark.parametrize("nfft,hop,n", [(256, 64, 4000), (512, 128, 3000),
+                                        (1024, 256, 9000)])
+def test_stft_gate_pallas_matches_staged(rng, nfft, hop, n):
+    """Fused gate kernel vs the staged parts path: every retained sample
+    (inside the COLA coverage pad) must match; the pad region is discarded
+    by SpectralGate and is allowed to differ (periodic-norm edges)."""
+    x = jnp.asarray(rng.standard_normal((2, n)).astype(np.float32))
+    pad = nfft - hop
+    xp = jnp.pad(x, ((0, 0), (pad, pad)))
+    want = np.asarray(_gate_ref(xp, nfft, hop, 0.1))[:, pad:pad + n]
+    got = np.asarray(pf.stft_gate_pallas(xp, nfft, hop, 0.1))[:, pad:pad + n]
+    scale = np.abs(want).max() + 1e-30
+    np.testing.assert_allclose(got / scale, want / scale, rtol=0, atol=5e-6)
+
+
+def test_stft_gate_pallas_pure_roundtrip(rng):
+    """threshold=0 keeps every bin: the kernel is then a pure
+    STFT->ISTFT roundtrip and must reproduce the padded input exactly on
+    the retained range."""
+    nfft, hop, n = 512, 128, 5000
+    x = jnp.asarray(rng.standard_normal((1, n)).astype(np.float32))
+    pad = nfft - hop
+    xp = jnp.pad(x, ((0, 0), (pad, pad)))
+    got = np.asarray(pf.stft_gate_pallas(xp, nfft, hop, 0.0))[:, pad:pad + n]
+    np.testing.assert_allclose(got, np.asarray(x), rtol=0, atol=2e-5)

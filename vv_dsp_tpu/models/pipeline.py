@@ -147,6 +147,16 @@ class SpectralGate:
         pad = self._edge_pad
         xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(pad, pad)])
         n_pad = xp.shape[-1]
+        from vv_dsp_tpu.ops import pallas_fft as _pf
+        if (x.ndim == 2 and not jnp.iscomplexobj(x)
+                and _pf.stft_gate_supported(self.nfft, self.hop)
+                and jax.default_backend() == "tpu"):
+            # whole pipeline in ONE Stockham kernel pass (every retained
+            # sample exact; the pad slices absorb the kernel's periodic-norm
+            # edge semantics — ops/pallas_fft.py:stft_gate_pallas)
+            out = _pf.stft_gate_pallas(xp, self.nfft, self.hop,
+                                       self.threshold, self.window)
+            return out[..., pad:pad + n]
         if self.stft_plan.supports_direct():
             # parts-form roundtrip: framing-free forward, gate on squared
             # magnitudes (mag >= t*peak  <=>  mag^2 >= t^2*peak^2), matmul

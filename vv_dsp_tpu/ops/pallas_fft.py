@@ -150,38 +150,8 @@ def _stft_mel_kernel(xt_hbm, w_ref, twr_ref, twi_ref, dp_ref, mel_ref,
         sre_ref[r * hop:(r + 1) * hop, :] = (
             part[:, :tk] * w_ref[r * hop:(r + 1) * hop, :])
 
-    # DIF butterfly stages on the VPU (stage 0 specialized: imag == 0)
-    l = nfft
-    if n_stages >= 1:
-        h = l // 2
-        a = sre_ref[:h, :]
-        b = sre_ref[h:, :]
-        wr = twr_ref[0, :h].reshape(h, 1)
-        wi = twi_ref[0, :h].reshape(h, 1)
-        d0 = a - b
-        sre_ref[:h, :] = a + b
-        sre_ref[h:, :] = d0 * wr
-        sim_ref[:h, :] = jnp.zeros((h, tk), jnp.float32)
-        sim_ref[h:, :] = d0 * wi
-        l //= 2
-    else:
-        sim_ref[:, :] = jnp.zeros((nfft, tk), jnp.float32)
-    for stage in range(1, n_stages):
-        r_ = nfft // l
-        h = l // 2
-        vr = sre_ref[:].reshape(r_, 2, h, tk)
-        vi = sim_ref[:].reshape(r_, 2, h, tk)
-        ar, br = vr[:, 0], vr[:, 1]
-        ai, bi = vi[:, 0], vi[:, 1]
-        wr = twr_ref[stage, :h].reshape(1, h, 1)
-        wi = twi_ref[stage, :h].reshape(1, h, 1)
-        dr = ar - br
-        di = ai - bi
-        sre_ref[:, :] = jnp.stack(
-            [ar + br, dr * wr - di * wi], axis=1).reshape(nfft, tk)
-        sim_ref[:, :] = jnp.stack(
-            [ai + bi, dr * wi + di * wr], axis=1).reshape(nfft, tk)
-        l //= 2
+    _forward_stages(sre_ref, sim_ref, twr_ref, twi_ref, nfft=nfft, tk=tk,
+                    n_stages=n_stages, real_input=True)
 
     # DFT-lstop tail on the MXU, power written in place (block b's output
     # depends only on block b's state)
@@ -199,6 +169,242 @@ def _stft_mel_kernel(xt_hbm, w_ref, twr_ref, twi_ref, dp_ref, mel_ref,
                     preferred_element_type=jnp.float32,
                     precision=jax.lax.Precision.HIGHEST)
     out_ref[0, :, :] = mel_e.T
+
+
+@functools.lru_cache(maxsize=4)
+def _packed_idft(lstop: int, nfft: int) -> np.ndarray:
+    """(2*lstop, 2*lstop) real matrix: [Ar; Ai] = Dpi @ [Sr; Si] with the
+    FULL 1/nfft inverse scaling folded in (the unscaled inverse butterfly
+    stages contribute the remaining 2^stages — see _inverse_stages)."""
+    d = np.exp(2j * np.pi * np.outer(np.arange(lstop), np.arange(lstop))
+               / lstop) / float(nfft)
+    return np.block([[d.real, -d.imag],
+                     [d.imag, d.real]]).astype(np.float32)
+
+
+def _forward_stages(sre_ref, sim_ref, twr_ref, twi_ref, *, nfft, tk,
+                    n_stages, real_input):
+    """In-place DIF butterflies, span nfft down to lstop (stage s handles
+    l = nfft >> s). real_input specializes stage 0 for imag == 0."""
+    l = nfft
+    start = 0
+    if real_input:
+        if n_stages >= 1:
+            h = l // 2
+            a = sre_ref[:h, :]
+            b = sre_ref[h:, :]
+            wr = twr_ref[0, :h].reshape(h, 1)
+            wi = twi_ref[0, :h].reshape(h, 1)
+            d0 = a - b
+            sre_ref[:h, :] = a + b
+            sre_ref[h:, :] = d0 * wr
+            sim_ref[:h, :] = jnp.zeros((h, tk), jnp.float32)
+            sim_ref[h:, :] = d0 * wi
+            l //= 2
+            start = 1
+        else:
+            sim_ref[:, :] = jnp.zeros((nfft, tk), jnp.float32)
+    for stage in range(start, n_stages):
+        r_ = nfft // l
+        h = l // 2
+        vr = sre_ref[:].reshape(r_, 2, h, tk)
+        vi = sim_ref[:].reshape(r_, 2, h, tk)
+        ar, br = vr[:, 0], vr[:, 1]
+        ai, bi = vi[:, 0], vi[:, 1]
+        wr = twr_ref[stage, :h].reshape(1, h, 1)
+        wi = twi_ref[stage, :h].reshape(1, h, 1)
+        dr = ar - br
+        di = ai - bi
+        sre_ref[:, :] = jnp.stack(
+            [ar + br, dr * wr - di * wi], axis=1).reshape(nfft, tk)
+        sim_ref[:, :] = jnp.stack(
+            [ai + bi, dr * wi + di * wr], axis=1).reshape(nfft, tk)
+        l //= 2
+
+
+def _inverse_stages(sre_ref, sim_ref, twr_ref, twi_ref, *, nfft, tk,
+                    n_stages):
+    """Mirror of _forward_stages: for each forward stage u = a+b,
+    v = (a-b)w, the unscaled inverse is a = u + v*conj(w),
+    b = u - v*conj(w) (the 2^stages factor lives in _packed_idft).
+    Stages run in reverse span order (l = lstop*2 up to nfft)."""
+    for stage in range(n_stages - 1, -1, -1):
+        l = nfft >> stage
+        r_ = nfft // l
+        h = l // 2
+        vr = sre_ref[:].reshape(r_, 2, h, tk)
+        vi = sim_ref[:].reshape(r_, 2, h, tk)
+        ur, vr_ = vr[:, 0], vr[:, 1]
+        ui, vi_ = vi[:, 0], vi[:, 1]
+        wr = twr_ref[stage, :h].reshape(1, h, 1)
+        wi = twi_ref[stage, :h].reshape(1, h, 1)   # forward sin; conj: -wi
+        tr = vr_ * wr + vi_ * wi
+        ti = vi_ * wr - vr_ * wi
+        sre_ref[:, :] = jnp.stack(
+            [ur + tr, ur - tr], axis=1).reshape(nfft, tk)
+        sim_ref[:, :] = jnp.stack(
+            [ui + ti, ui - ti], axis=1).reshape(nfft, tk)
+
+
+def stft_gate_supported(nfft: int, hop: int) -> bool:
+    """Geometry the fused gate kernel handles (see stft_mel_supported; the
+    gate additionally needs hop < nfft so OLA has coverage)."""
+    return stft_mel_supported(nfft, hop) and hop < nfft
+
+
+def _gate_kernel(xt_hbm, w_ref, twr_ref, twi_ref, dp_ref, dpi_ref, out_ref,
+                 sre_ref, sim_ref, sem, *, nfft, hop, q, tk, lanes_p,
+                 n_stages, lstop, thresh2):
+    c = pl.program_id(0)
+    st = pl.program_id(1)
+
+    def body(xv):
+        dma = pltpu.make_async_copy(
+            xt_hbm.at[c, :, pl.ds(st * tk, lanes_p)], xv, sem)
+        dma.start()
+        dma.wait()
+        xvv = xv[:]
+        for r in range(q):
+            part = xvv if r == 0 else pltpu.roll(xvv, lanes_p - r, 1)
+            sre_ref[r * hop:(r + 1) * hop, :] = (
+                part[:, :tk] * w_ref[r * hop:(r + 1) * hop, :])
+
+    pl.run_scoped(body, pltpu.VMEM((hop, lanes_p), jnp.float32))
+
+    _forward_stages(sre_ref, sim_ref, twr_ref, twi_ref, nfft=nfft, tk=tk,
+                    n_stages=n_stages, real_input=True)
+    # forward DFT-lstop tail, spectrum kept as (re, im)
+    dpv = dp_ref[:]
+    for b_ in range(nfft // lstop):
+        lo = b_ * lstop
+        packed = jnp.concatenate(
+            [sre_ref[lo:lo + lstop, :], sim_ref[lo:lo + lstop, :]], axis=0)
+        o = jnp.dot(dpv, packed, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+        sre_ref[lo:lo + lstop, :] = o[:lstop]
+        sim_ref[lo:lo + lstop, :] = o[lstop:]
+
+    # spectral gate in permuted bin space: the per-frame peak is a
+    # permutation-invariant row reduction, the mask is pointwise
+    # (src/models SpectralGate: mag >= t*peak <=> mag^2 >= t^2*peak^2)
+    p2 = sre_ref[:] * sre_ref[:] + sim_ref[:] * sim_ref[:]
+    peak2 = jnp.max(p2, axis=0, keepdims=True)
+    keep = p2 >= jnp.float32(thresh2) * peak2
+    zero = jnp.zeros((nfft, tk), jnp.float32)
+    sre_ref[:, :] = jnp.where(keep, sre_ref[:], zero)
+    sim_ref[:, :] = jnp.where(keep, sim_ref[:], zero)
+
+    # inverse: iDFT-lstop (1/nfft folded), then mirrored butterflies
+    dpiv = dpi_ref[:]
+    for b_ in range(nfft // lstop):
+        lo = b_ * lstop
+        packed = jnp.concatenate(
+            [sre_ref[lo:lo + lstop, :], sim_ref[lo:lo + lstop, :]], axis=0)
+        o = jnp.dot(dpiv, packed, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+        sre_ref[lo:lo + lstop, :] = o[:lstop]
+        sim_ref[lo:lo + lstop, :] = o[lstop:]
+    _inverse_stages(sre_ref, sim_ref, twr_ref, twi_ref, nfft=nfft, tk=tk,
+                    n_stages=n_stages)
+
+    # synthesis window + OLA into a 2*tk-lane strip: frame at lane j spans
+    # output hop-blocks j..j+q-1 -> contribution r rides a lane roll by +r
+    y = sre_ref[:] * w_ref[:]
+    acc = jnp.zeros((hop, 2 * tk), jnp.float32)
+    for r in range(q):
+        part = jnp.pad(y[r * hop:(r + 1) * hop, :], ((0, 0), (0, tk)))
+        acc = acc + (part if r == 0 else pltpu.roll(part, r, 1))
+    out_ref[0, 0, :, :] = acc
+
+
+def stft_gate_pallas(x, nfft: int, hop: int, threshold: float,
+                     window: str = "hann", window_param=None,
+                     interpret: bool | None = None):
+    """Fused STFT -> per-frame spectral magnitude gate -> ISTFT with
+    w^2-normalized OLA, one kernel pass (the SpectralGate pipeline body,
+    reference bench/bench_pipeline.c:77-120).
+
+    x: (channels, n) REAL, already COLA-coverage padded by the caller
+    (models.SpectralGate pads nfft-hop zeros per side); every output sample
+    in [nfft-hop, n-(nfft-hop)) is exact vs the staged parts path; the pad
+    regions (discarded by the caller) use the interior-periodic w^2 norm
+    and phantom zero frames, so they differ there by design."""
+    from vv_dsp_tpu.ops.window import get_window_np
+
+    if interpret is None:
+        interpret = not _on_tpu()
+    if not stft_gate_supported(nfft, hop):
+        raise ValueError("unsupported geometry; check stft_gate_supported()")
+    x = config.as_compute(x)
+    if x.dtype != jnp.float32:
+        x = x.astype(jnp.float32)
+    c, n = x.shape
+    q = nfft // hop
+    tk = _TK
+    lstop = min(_LSTOP, nfft)
+    n_stages = (nfft // lstop).bit_length() - 1
+    nf = 1 if n < nfft else 1 + (n - nfft + hop) // hop
+    nf_p = _round_up(nf, tk)
+    lanes_p = _round_up(tk + 2 * (q - 1), 128)
+    nb = nf_p - tk + lanes_p
+    xp = jnp.pad(x, ((0, 0), (0, nb * hop - n)))
+    xt = jnp.swapaxes(xp.reshape(c, nb, hop), -1, -2)  # (c, hop, nb)
+
+    w_np = get_window_np(window, nfft, window_param).astype(np.float32)
+    twr, twi = _stage_twiddles(nfft, n_stages)
+    dp = _packed_dft(lstop)
+    dpi = _packed_idft(lstop, nfft)
+    steps = nf_p // tk
+
+    kernel = functools.partial(
+        _gate_kernel, nfft=nfft, hop=hop, q=q, tk=tk, lanes_p=lanes_p,
+        n_stages=n_stages, lstop=lstop,
+        thresh2=float(threshold) * float(threshold))
+    strips = pl.pallas_call(
+        kernel,
+        grid=(c, steps),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec((nfft, 1), lambda c, s: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(twr.shape, lambda c, s: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(twi.shape, lambda c, s: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(dp.shape, lambda c, s: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(dpi.shape, lambda c, s: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, hop, 2 * tk),
+                               lambda c, s: (c, s, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((c, steps, hop, 2 * tk), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((nfft, tk), jnp.float32),
+            pltpu.VMEM((nfft, tk), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(xt, jnp.asarray(w_np.reshape(nfft, 1)), jnp.asarray(twr),
+      jnp.asarray(twi), jnp.asarray(dp), jnp.asarray(dpi))
+
+    # merge strips: strip s covers hop-blocks [s*tk, s*tk + 2*tk); adjacent
+    # strips overlap tk blocks -> one shifted add
+    strips = jnp.swapaxes(strips, -1, -2)  # (c, steps, 2*tk, hop)
+    main = strips[:, :, :tk, :].reshape(c, steps * tk * hop)
+    spill = strips[:, :, tk:, :].reshape(c, steps * tk * hop)
+    recon = main + jnp.pad(spill, ((0, 0), (tk * hop, 0)))[:, :steps * tk * hop]
+
+    # interior-periodic w^2 OLA norm (exact for every retained sample)
+    wsq = w_np.astype(np.float64) ** 2
+    norm_np = np.zeros(hop, np.float64)
+    for r in range(q):
+        norm_np += wsq[r * hop:(r + 1) * hop]
+    norm = jnp.asarray(np.where(norm_np > 1e-12, norm_np, 1.0)
+                       .astype(np.float32))
+    recon = recon.reshape(c, steps * tk, hop) / norm
+    return recon.reshape(c, steps * tk * hop)[:, :n]
 
 
 def stft_mel_energies_pallas(x, nfft: int, hop: int, n_mels: int,

@@ -446,7 +446,21 @@ def fir_resample_fused(h_fir, x, up: int, down: int,
     # (clamped — for signals shorter than the resample filter's half-length
     # every output crosses it and the whole result is computed staged)
     m0 = max(0, -(-(up * n_in - offset) // down))
-    if m0 < n_out:
+    n_tail = n_out - m0
+    if 0 < n_tail <= 1024 and m0 > 0:
+        # the staged definition for the few crossing outputs collapses to a
+        # tiny dense matmul: y_st[m] = sum_j x[j] * W[m - m0, j - jw0] with
+        # W[m,j] = sum_{k < n_in} h_r[off + m*down - k*up] * h_fir[k - j]
+        # (a full fir_apply on the tail slice measured 5 ms — absurd for
+        # ~13 outputs; this is the same numbers at matmul-epsilon cost)
+        wt, jw0 = _staged_tail_matrix(tuple(h_np), up, down, offset,
+                                      n_in, m0, n_tail)
+        xw = x[..., max(0, jw0):]
+        tail = jnp.einsum("...j,mj->...m", xw,
+                          jnp.asarray(wt[:, :xw.shape[-1]], dtype=x.dtype),
+                          precision=config.MATMUL_PRECISION)
+        y = jnp.concatenate([y[..., :m0], tail], axis=-1)
+    elif m0 < n_out:
         h_r = _resample_poly_filter(up, down)
         taps_r = -(-len(h_r) // up)
         jlo = (offset + m0 * down) // up - taps_r + 1
@@ -458,6 +472,41 @@ def fir_resample_fused(h_fir, x, up: int, down: int,
         tail = _upfirdn_gather(h_r, y_t, up, down, off2, n_out - m0)
         y = jnp.concatenate([y[..., :m0], tail], axis=-1)
     return y
+
+
+@functools.lru_cache(maxsize=16)
+def _staged_tail_matrix(h_key, up: int, down: int, offset: int, n_in: int,
+                        m0: int, n_tail: int):
+    """(W (n_tail, width) float32, jw0): the staged fused-head tail as one
+    dense matrix over the input window x[jw0:n_in] — staged means the FIR
+    intermediate is truncated at n_in (k < n_in), which is the one place the
+    pure composite filter differs from resample_poly(fir_apply(x))."""
+    h_fir = np.asarray(h_key, dtype=np.float64)
+    h_r = _resample_poly_filter(up, down)
+    len_r = len(h_r)
+    taps_f = len(h_fir)
+    # offset == (len_r-1)//2 (the composite offset IS h_r's group delay —
+    # _fused_fir_resample_filter):
+    # y_st[m] = sum_k 1[0<=k<n_in] h_r[offset + m*down - k*up] * y_fir[k],
+    # y_fir[k] = sum_u h_fir[u] x[k-u]
+    ms = np.arange(m0, m0 + n_tail)
+    k_hi = min(n_in - 1, (offset + int(ms[-1]) * down) // up)
+    k_lo = max(0, -(-(offset + int(ms[0]) * down - len_r + 1) // up))
+    jw0 = k_lo - taps_f + 1
+    width = k_hi - jw0 + 1
+    # A[m, k] = h_r coefficient; B[k, j] = h_fir[k - j]
+    kk = np.arange(k_lo, k_hi + 1)
+    gi = offset + ms[:, None] * down - kk[None, :] * up
+    a = np.where((gi >= 0) & (gi < len_r), h_r[np.clip(gi, 0, len_r - 1)], 0.0)
+    jj = np.arange(jw0, jw0 + width)
+    fi = kk[:, None] - jj[None, :]
+    b = np.where((fi >= 0) & (fi < taps_f),
+                 h_fir[np.clip(fi, 0, taps_f - 1)], 0.0)
+    w = a @ b  # (n_tail, width)
+    if jw0 < 0:  # clip columns for x indices < 0 (zero samples)
+        w = w[:, -jw0:]
+        jw0 = 0
+    return np.ascontiguousarray(w).astype(np.float32), jw0
 
 
 # ---------------------------------------------------------------------------
