@@ -34,7 +34,11 @@ sys.path.insert(0, REPO)
 
 MEASURED_PEAK_TFLOPS = 59.0   # 4096^3 f32 matmul, chained timing, this chip
 HBM_GBPS = 819.0              # v5e spec
-FLOOR_MS = 2.3                # measured chained-timing per-iter floor
+# measured chained-timing per-iter floor: a SCALAR-ONLY fori_loop body
+# measures ~1.36 ms/iter through this tunnel, so every stage time below
+# carries that constant (round-2 measurement; the earlier 2.3 ms figure
+# included a 30 MB elementwise op's real work)
+FLOOR_MS = 1.4
 
 
 def chain_time(step, x, iters=10):
@@ -95,6 +99,17 @@ def main():
          ch * frames * (2.5 * chain.nfft * math.log2(chain.nfft)
                         + chain.nfft + 3 * bins),
          f32 * ch * (n_rs + frames * bins)),
+        ("stft_mel_fused", lambda v: _mel.mel_energies_stft(
+            v, chain.nfft, chain.hop, chain.n_mels,
+            chain.sample_rate * chain.up / chain.down,
+            window=chain.window), y2,
+         # the chain's actual STFT stage (Stockham Pallas kernel): FFT min
+         # flops + mel projection, and only the signal read + mel write in
+         # HBM (no frames/spectrum/power arrays)
+         ch * frames * (2.5 * chain.nfft * math.log2(chain.nfft)
+                        + chain.nfft + 3 * bins
+                        + 2.0 * bins * chain.n_mels),
+         f32 * ch * (n_rs + frames * chain.n_mels)),
         ("mel_mfcc", lambda v: _mel.mfcc(
             v, chain.nfft, chain.n_mels, chain.n_mfcc,
             chain.sample_rate * chain.up / chain.down), pw,
@@ -108,7 +123,8 @@ def main():
     # the fir+resample work, so sum the staged rows only)
     stages[-1] = ("full_chain", chain, x,
                   sum(s[3] for s in stages[:-1]
-                      if s[0] != "fir_resample_fused"),
+                      if s[0] not in ("fir_resample_fused",
+                                      "stft_mel_fused")),
                   f32 * ch * (2 * n + frames * chain.n_mfcc))
 
     results = []

@@ -161,3 +161,18 @@ def test_stft_gate_pallas_pure_roundtrip(rng):
     xp = jnp.pad(x, ((0, 0), (pad, pad)))
     got = np.asarray(pf.stft_gate_pallas(xp, nfft, hop, 0.0))[:, pad:pad + n]
     np.testing.assert_allclose(got, np.asarray(x), rtol=0, atol=2e-5)
+
+
+@pytest.mark.parametrize("nfft,hop,n", [(256, 64, 4000), (512, 512, 2100),
+                                        (256, 64, 100)])
+def test_stft_power_stockham_matches_plan(rng, nfft, hop, n):
+    """Natural-order power spectrogram from the Stockham kernel vs the
+    plan's matmul path (unpermuting gather correctness incl. Nyquist)."""
+    x = jnp.asarray(rng.standard_normal((2, n)).astype(np.float32))
+    plan = STFT(nfft, hop, "hann")
+    re, im = plan.power_parts(x)
+    want = np.asarray(re * re + im * im)
+    got = np.asarray(pf.stft_power_stockham(x, nfft, hop))
+    assert got.shape == want.shape
+    scale = np.abs(want).max() + 1e-30
+    np.testing.assert_allclose(got / scale, want / scale, rtol=0, atol=3e-6)

@@ -101,6 +101,15 @@ class STFT:
         x = config.as_compute(x)
         n = x.shape[-1]
         nf = self.num_frames(n)
+        if x.ndim == 2 and not jnp.iscomplexobj(x):
+            from vv_dsp_tpu.ops import pallas_fft as _pf
+            import jax as _jax
+            if (_pf.stft_mel_supported(self.nfft, self.hop)
+                    and _jax.default_backend() == "tpu"):
+                # Stockham kernel + one unpermuting gather: ~2x the dense
+                # windowed-basis matmuls at nfft=2048 (ops/pallas_fft.py)
+                return _pf.stft_power_stockham(x, self.nfft, self.hop,
+                                               self.window, self.window_param)
         if self.supports_direct() and not jnp.iscomplexobj(x):
             return self._power_direct(x, nf)
         if self.nfft % self.hop == 0:
