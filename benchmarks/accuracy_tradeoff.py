@@ -95,8 +95,11 @@ def main():
                 return jnp.sum(fn(v + acc * 1e-30)
                                ).astype(jnp.float32) * 1e-30
 
-            r = chain_benchmark(f"{name}@{prec}", step, x,
-                                n_samples=ch * n)
+            # best of 3: chained timing through the tunnel drifts ~20%
+            # run-to-run (thermal/transport), which used to invert rows
+            r = min((chain_benchmark(f"{name}@{prec}", step, x,
+                                     n_samples=ch * n) for _ in range(3)),
+                    key=lambda b: b.elapsed_ms)
             rows.append({
                 "surface": name,
                 "precision": prec,

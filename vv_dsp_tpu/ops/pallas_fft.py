@@ -52,6 +52,17 @@ _LSTOP = 64  # butterfly/matmul split point (see module docstring)
 _TK = 128    # frames per grid step (lane width)
 
 
+def _kernel_precision():
+    """Mosaic dots accept only HIGHEST and DEFAULT; map the runtime
+    matmul-precision knob (config.set_matmul_precision): highest/high ->
+    HIGHEST (full f32 accumulation), default -> DEFAULT (bf16 passes, the
+    sanctioned speed-for-accuracy trade)."""
+    from vv_dsp_tpu import config as _c
+    return (jax.lax.Precision.DEFAULT
+            if _c.MATMUL_PRECISION == jax.lax.Precision.DEFAULT
+            else jax.lax.Precision.HIGHEST)
+
+
 def _on_tpu() -> bool:
     return jax.default_backend() == "tpu"
 
@@ -161,13 +172,13 @@ def _stft_mel_kernel(xt_hbm, w_ref, twr_ref, twi_ref, dp_ref, mel_ref,
         packed = jnp.concatenate(
             [sre_ref[lo:lo + lstop, :], sim_ref[lo:lo + lstop, :]], axis=0)
         o = jnp.dot(dpv, packed, preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST)
+                    precision=_kernel_precision())
         orr, oi = o[:lstop], o[lstop:]
         sre_ref[lo:lo + lstop, :] = orr * orr + oi * oi
 
     mel_e = jnp.dot(mel_ref[:], sre_ref[:],
                     preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST)
+                    precision=_kernel_precision())
     out_ref[0, :, :] = mel_e.T
 
 
@@ -193,7 +204,7 @@ def _power_kernel(xt_hbm, w_ref, twr_ref, twi_ref, dp_ref, out_ref,
         packed = jnp.concatenate(
             [sre_ref[lo:lo + lstop, :], sim_ref[lo:lo + lstop, :]], axis=0)
         o = jnp.dot(dpv, packed, preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST)
+                    precision=_kernel_precision())
         orr, oi = o[:lstop], o[lstop:]
         sre_ref[lo:lo + lstop, :] = orr * orr + oi * oi
     out_ref[0, :, :] = sre_ref[:]
@@ -376,7 +387,7 @@ def _gate_kernel(xt_hbm, w_ref, twr_ref, twi_ref, dp_ref, dpi_ref, out_ref,
         packed = jnp.concatenate(
             [sre_ref[lo:lo + lstop, :], sim_ref[lo:lo + lstop, :]], axis=0)
         o = jnp.dot(dpv, packed, preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST)
+                    precision=_kernel_precision())
         sre_ref[lo:lo + lstop, :] = o[:lstop]
         sim_ref[lo:lo + lstop, :] = o[lstop:]
 
@@ -397,7 +408,7 @@ def _gate_kernel(xt_hbm, w_ref, twr_ref, twi_ref, dp_ref, dpi_ref, out_ref,
         packed = jnp.concatenate(
             [sre_ref[lo:lo + lstop, :], sim_ref[lo:lo + lstop, :]], axis=0)
         o = jnp.dot(dpiv, packed, preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST)
+                    precision=_kernel_precision())
         sre_ref[lo:lo + lstop, :] = o[:lstop]
         sim_ref[lo:lo + lstop, :] = o[lstop:]
     _inverse_stages(sre_ref, sim_ref, twr_ref, twi_ref, nfft=nfft, tk=tk,

@@ -42,6 +42,17 @@ _EXT_ROWS_CAP = 4096            # ext scratch rows (k_w) cap
 _B_IN_CAP = 2048                # DMA window rows cap
 
 
+def _kernel_precision():
+    """Mosaic dots accept only HIGHEST and DEFAULT; map the runtime
+    matmul-precision knob (config.set_matmul_precision): highest/high ->
+    HIGHEST (full f32 accumulation), default -> DEFAULT (bf16 passes, the
+    sanctioned speed-for-accuracy trade)."""
+    from vv_dsp_tpu import config as _c
+    return (jax.lax.Precision.DEFAULT
+            if _c.MATMUL_PRECISION == jax.lax.Precision.DEFAULT
+            else jax.lax.Precision.HIGHEST)
+
+
 def _on_tpu() -> bool:
     return jax.default_backend() == "tpu"
 
@@ -106,7 +117,7 @@ def _kern(xt_hbm, w_ref, out_ref, xv, ext, sem, *, b_in, k_wp, n_roll):
         ext[lo:hi, :] = src[: hi - lo, :128]
     out_ref[0, :, :] = jnp.dot(w_ref[:], ext[:],
                                preferred_element_type=jnp.float32,
-                               precision=jax.lax.Precision.HIGHEST)
+                               precision=_kernel_precision())
 
 
 def upfirdn_banded_pallas(x, g, up: int, down: int, offset: int, n_out: int,
