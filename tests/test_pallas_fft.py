@@ -176,3 +176,18 @@ def test_stft_power_stockham_matches_plan(rng, nfft, hop, n):
     assert got.shape == want.shape
     scale = np.abs(want).max() + 1e-30
     np.testing.assert_allclose(got / scale, want / scale, rtol=0, atol=3e-6)
+
+
+@pytest.mark.parametrize("onesided", [False, True])
+def test_stft_spectrum_stockham_matches_plan(rng, onesided):
+    """Natural-order complex spectra from the Stockham kernel vs the plan's
+    matmul path, both two-sided and Hermitian-packed."""
+    nfft, hop, n = 256, 64, 3000
+    x = jnp.asarray(rng.standard_normal((2, n)).astype(np.float32))
+    plan = STFT(nfft, hop, "hann")
+    want = np.asarray(plan.process(x, rfft=onesided))
+    got = np.asarray(pf.stft_spectrum_stockham(x, nfft, hop,
+                                               onesided=onesided))
+    assert got.shape == want.shape
+    scale = np.abs(want).max() + 1e-30
+    np.testing.assert_allclose(got / scale, want / scale, rtol=0, atol=3e-6)

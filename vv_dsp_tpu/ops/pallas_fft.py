@@ -278,6 +278,108 @@ def stft_power_stockham(x, nfft: int, hop: int, window: str = "hann",
     return jnp.take(pw, jnp.asarray(inv), axis=-1)
 
 
+def _spectrum_kernel(xt_hbm, w_ref, twr_ref, twi_ref, dp_ref, re_ref, im_ref,
+                     xv, sre_ref, sim_ref, sem, *, nfft, hop, q, tk, lanes_p,
+                     n_stages, lstop):
+    c = pl.program_id(0)
+    fbk = pl.program_id(1)
+    dma = pltpu.make_async_copy(
+        xt_hbm.at[c, :, pl.ds(fbk * tk, lanes_p)], xv, sem)
+    dma.start()
+    dma.wait()
+    xvv = xv[:]
+    for r in range(q):
+        part = xvv if r == 0 else pltpu.roll(xvv, lanes_p - r, 1)
+        sre_ref[r * hop:(r + 1) * hop, :] = (
+            part[:, :tk] * w_ref[r * hop:(r + 1) * hop, :])
+    _forward_stages(sre_ref, sim_ref, twr_ref, twi_ref, nfft=nfft, tk=tk,
+                    n_stages=n_stages, real_input=True)
+    dpv = dp_ref[:]
+    for b_ in range(nfft // lstop):
+        lo = b_ * lstop
+        packed = jnp.concatenate(
+            [sre_ref[lo:lo + lstop, :], sim_ref[lo:lo + lstop, :]], axis=0)
+        o = jnp.dot(dpv, packed, preferred_element_type=jnp.float32,
+                    precision=_kernel_precision())
+        re_ref[0, lo:lo + lstop, :] = o[:lstop]
+        im_ref[0, lo:lo + lstop, :] = o[lstop:]
+
+
+def stft_spectrum_stockham(x, nfft: int, hop: int, window: str = "hann",
+                           window_param=None, onesided: bool = False,
+                           interpret: bool | None = None):
+    """Windowed complex STFT spectrum via the Stockham kernel, NATURAL bin
+    order: (channels, n) real -> (channels, frames, bins) complex64 with
+    bins = nfft (two-sided) or nfft//2+1 (onesided). The permuted kernel
+    rows are unpermuted by one XLA column gather — the spectrum is tiny
+    next to the transform work, so the gather is noise. Matches
+    STFT(...).process(x) to f32 rounding."""
+    from vv_dsp_tpu.ops.window import get_window_np
+
+    if interpret is None:
+        interpret = not _on_tpu()
+    if not stft_mel_supported(nfft, hop):
+        raise ValueError("unsupported geometry; check stft_mel_supported()")
+    if jnp.iscomplexobj(x):
+        raise TypeError("stft_spectrum_stockham requires real input")
+    x = config.as_compute(x)
+    if x.dtype != jnp.float32:
+        x = x.astype(jnp.float32)
+    c, n = x.shape
+    q = nfft // hop
+    tk = _TK
+    lstop = min(_LSTOP, nfft)
+    n_stages = (nfft // lstop).bit_length() - 1
+    nf = 1 if n < nfft else 1 + (n - nfft + hop) // hop
+    nf_p = _round_up(nf, tk)
+    lanes_p = _round_up(tk + q - 1, 128)
+    nb = nf_p - tk + lanes_p
+    xp = jnp.pad(x, ((0, 0), (0, nb * hop - n)))
+    xt = jnp.swapaxes(xp.reshape(c, nb, hop), -1, -2)
+
+    w_np = get_window_np(window, nfft, window_param).astype(np.float32)
+    twr, twi = _stage_twiddles(nfft, n_stages)
+    dp = _packed_dft(lstop)
+    kernel = functools.partial(
+        _spectrum_kernel, nfft=nfft, hop=hop, q=q, tk=tk, lanes_p=lanes_p,
+        n_stages=n_stages, lstop=lstop)
+    spec = pl.BlockSpec((1, nfft, tk), lambda c, f: (c, 0, f),
+                        memory_space=pltpu.VMEM)
+    re, im = pl.pallas_call(
+        kernel,
+        grid=(c, nf_p // tk),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec((nfft, 1), lambda c, f: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(twr.shape, lambda c, f: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(twi.shape, lambda c, f: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(dp.shape, lambda c, f: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(spec, spec),
+        out_shape=(jax.ShapeDtypeStruct((c, nfft, nf_p), jnp.float32),
+                   jax.ShapeDtypeStruct((c, nfft, nf_p), jnp.float32)),
+        scratch_shapes=[
+            pltpu.VMEM((hop, lanes_p), jnp.float32),
+            pltpu.VMEM((nfft, tk), jnp.float32),
+            pltpu.VMEM((nfft, tk), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(xt, jnp.asarray(w_np.reshape(nfft, 1)), jnp.asarray(twr),
+      jnp.asarray(twi), jnp.asarray(dp))
+    inv = np.argsort(row_to_bin_perm(nfft, lstop))
+    if onesided:
+        inv = inv[: nfft // 2 + 1]
+    idx = jnp.asarray(inv)
+    re = jnp.take(jnp.swapaxes(re, -1, -2)[:, :nf, :], idx, axis=-1)
+    im = jnp.take(jnp.swapaxes(im, -1, -2)[:, :nf, :], idx, axis=-1)
+    return jax.lax.complex(re, im)
+
+
 @functools.lru_cache(maxsize=4)
 def _packed_idft(lstop: int, nfft: int) -> np.ndarray:
     """(2*lstop, 2*lstop) real matrix: [Ar; Ai] = Dpi @ [Sr; Si] with the
