@@ -27,6 +27,8 @@ within 3e-3 (python/test_filters.py:32-33).
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import jax.numpy as jnp
 from jax import lax
@@ -120,6 +122,155 @@ def biquad_apply(x, b0, b1, b2, a1, a2, s_init=None):
     return y
 
 
+_BLOCK_B = 512          # block length of the block state-space fast path
+_BLOCK_MIN_N = 8192     # below this the per-section scan is fine
+
+
+@functools.lru_cache(maxsize=32)
+def _cascade_block_constants(sos_key, b_len: int):
+    """Host-side float64 constants for the block state-space IIR.
+
+    The SOS cascade is ONE LTI system s' = A s + Bv u, y = Cv s + D u with
+    state dim S = 2*n_sections (series composition of the DF2T sections).
+    Splitting the signal into blocks of b_len makes every block's work a
+    dense matmul and the cross-block coupling a tiny affine scan:
+      y_block = T @ x_block (zero-state response; T[i,j] = h[i-j], the
+                 cascade impulse response — EXACT inside a block, no
+                 truncation: only j <= i < b_len terms exist)
+                + R @ s_entry            (R[i] = Cv A^i)
+      c_block = F^T @ x_block            (F[j] = A^{b-1-j} Bv)
+      s_next  = A^b s_entry + c_block.
+    Returns (Wcat (b+S, b) = [T; F^T], R (b, S), Ab (S, S), radius) in
+    float64; casting to f32 happens at the call site. `radius` is the pole
+    magnitude bound — the powers of A only stay representable for stable
+    (or marginally stable) filters, so callers fall back to the scan path
+    when radius > 1."""
+    sos = np.asarray(sos_key, dtype=np.float64).reshape(-1, 5)
+    A = np.zeros((0, 0))
+    Bv = np.zeros((0,))
+    Cv = np.zeros((0,))
+    D = 1.0
+    for b0, b1, b2, a1, a2 in sos:
+        Ai = np.array([[-a1, 1.0], [-a2, 0.0]])
+        Bi = np.array([b1 - a1 * b0, b2 - a2 * b0])
+        Ci = np.array([1.0, 0.0])
+        Di = b0
+        s_old = A.shape[0]
+        A_new = np.zeros((s_old + 2, s_old + 2))
+        A_new[:s_old, :s_old] = A
+        A_new[s_old:, :s_old] = np.outer(Bi, Cv)
+        A_new[s_old:, s_old:] = Ai
+        B_new = np.concatenate([Bv, Bi * D])
+        C_new = np.concatenate([Di * Cv, Ci])
+        A, Bv, Cv, D = A_new, B_new, C_new, D * Di
+    S = A.shape[0]
+    radius = float(np.abs(np.linalg.eigvals(A)).max()) if S else 0.0
+
+    h = np.zeros(b_len)
+    F = np.zeros((b_len, S))
+    R = np.zeros((b_len, S))
+    h[0] = D
+    Ak = np.eye(S)                      # A^i
+    for i in range(b_len):
+        R[i] = Cv @ Ak
+        if i + 1 < b_len:
+            h[i + 1] = Cv @ (Ak @ Bv)
+        Ak = Ak @ A
+    Ab = Ak                              # A^b_len
+    # F[j] = A^{b-1-j} Bv: build backwards reusing the power chain
+    acc = Bv.copy()
+    for j in range(b_len - 1, -1, -1):
+        F[j] = acc
+        acc = A @ acc
+    i_idx = np.arange(b_len)[:, None]
+    j_idx = np.arange(b_len)[None, :]
+    T = np.where(i_idx >= j_idx, h[np.clip(i_idx - j_idx, 0, b_len - 1)], 0.0)
+    wcat = np.concatenate([T, F.T], axis=0)   # (b+S, b)
+    return wcat, R, Ab, radius
+
+
+def _iir_apply_block(sos_n, x, zi):
+    """Block state-space cascade apply: one (b+S, b) matmul per block plus
+    an affine scan over the ~n/b block states. Replaces the whole-signal
+    associative scan on long signals (measured 182 -> ~4 ms for a butter-4
+    on 16ch x 479k; the per-sample scan drags 19 combine sweeps of
+    (n, 2, 2) matrices through HBM)."""
+    from vv_dsp_tpu import config
+
+    b_len = _BLOCK_B
+    wcat64, r64, ab64, _ = _cascade_block_constants(
+        tuple(map(tuple, sos_n)), b_len)
+    n_sec = sos_n.shape[0]
+    S = 2 * n_sec
+    dt = x.dtype if jnp.issubdtype(x.dtype, jnp.floating) else jnp.float32
+    x = x.astype(dt)
+    wcat = jnp.asarray(wcat64.astype(np.dtype(dt)))
+    r_m = jnp.asarray(r64.astype(np.dtype(dt)))
+    ab = jnp.asarray(ab64.astype(np.dtype(dt)))
+
+    lead = x.shape[:-1]
+    n = x.shape[-1]
+    nb = -(-n // b_len)
+    xp = jnp.pad(x, [(0, 0)] * len(lead) + [(0, nb * b_len - n)])
+    xb = xp.reshape(lead + (nb, b_len))
+    einsum_out = jnp.einsum("...nj,ij->...ni", xb, wcat,
+                            precision=config.MATMUL_PRECISION)
+    zsr, c = einsum_out[..., :b_len], einsum_out[..., b_len:]
+
+    # entry state per block: s_{m+1} = Ab s_m + c_m (affine scan over nb)
+    a_bc = jnp.broadcast_to(ab, lead + (nb, S, S))
+
+    def combine(f, g):
+        fa, fb = f
+        ga, gb = g
+        return (jnp.einsum("...ij,...jk->...ik", ga, fa),
+                jnp.einsum("...ij,...j->...i", ga, fb) + gb)
+
+    a_cum, b_cum = lax.associative_scan(combine, (a_bc, c), axis=len(lead))
+    # s_after[m] = state after block m (entry state of block m+1)
+    if zi is None:
+        s_after = b_cum
+        s_entry = jnp.concatenate(
+            [jnp.zeros(lead + (1, S), dt), s_after[..., :-1, :]], axis=-2)
+        s_last = s_after[..., -1, :]
+    else:
+        s0 = jnp.asarray(zi, dtype=dt).reshape(lead + (S,))
+        s_after = b_cum + jnp.einsum("...nij,...j->...ni", a_cum, s0)
+        s_entry = jnp.concatenate(
+            [jnp.broadcast_to(s0[..., None, :], lead + (1, S)),
+             s_after[..., :-1, :]], axis=-2)
+        s_last = s_after[..., -1, :]
+    y = zsr + jnp.einsum("...ns,is->...ni", s_entry, r_m,
+                         precision=config.MATMUL_PRECISION)
+    y = y.reshape(lead + (nb * b_len,))[..., :n]
+    # exact end state for n not a block multiple: recompute the tail's
+    # state transition over the real samples only
+    if n % b_len:
+        # exact end state when n is not a block multiple: redo the partial
+        # block's transition over the real samples only (A^{tail-1-j} Bv and
+        # A^tail from small host tables)
+        m_last = n // b_len
+        tail_len = n - m_last * b_len
+        s_in_tail = s_entry[..., m_last, :]
+        wt_t, _, ab_t, _ = _cascade_block_constants(
+            tuple(map(tuple, sos_n)), tail_len)
+        f_t = jnp.asarray(wt_t[tail_len:, :].astype(np.dtype(dt)))
+        ab_tj = jnp.asarray(ab_t.astype(np.dtype(dt)))
+        x_tail = x[..., m_last * b_len:]
+        c_t = jnp.einsum("...j,sj->...s", x_tail, f_t,
+                         precision=config.MATMUL_PRECISION)
+        s_last = jnp.einsum("ij,...j->...i", ab_tj, s_in_tail) + c_t
+    return y, s_last
+
+
+def _block_path_ok(sos_n, n: int) -> bool:
+    if n < _BLOCK_MIN_N or sos_n.shape[0] > 8:
+        return False
+    _, _, _, radius = _cascade_block_constants(
+        tuple(map(tuple, sos_n)), _BLOCK_B)
+    return radius <= 1.0 + 1e-9
+
+
 def iir_apply(sos, x, return_state: bool = False, zi=None):
     """Biquad cascade (vv_dsp_iir_apply, src/filter/iir.c:29-43;
     scipy.signal.sosfilt role).
@@ -128,10 +279,24 @@ def iir_apply(sos, x, return_state: bool = False, zi=None):
     (n_stages, 5) reference-style [b0 b1 b2 a1 a2]. Stage loop is static.
     zi: optional (..., n_stages, 2) per-stage DF2T entry state (z1, z2),
     scipy's sosfilt(zi=...) convention.
+
+    Long signals run the block state-space path (_iir_apply_block): the
+    cascade as one LTI system, blocks of 512 as dense MXU matmuls, block
+    states coupled by a ~n/512-element affine scan. Short signals and
+    unstable designs (pole radius > 1, whose A-powers overflow) keep the
+    per-section associative scan.
     """
+    sos_n = normalize_sos(sos)
+    n = x.shape[-1]
+    if _block_path_ok(sos_n, n):
+        y, s_cascade = _iir_apply_block(sos_n, x, zi)
+        if return_state:
+            return y, s_cascade.reshape(s_cascade.shape[:-1]
+                                        + (sos_n.shape[0], 2))
+        return y
     states = []
     y = x
-    for k, (b0, b1, b2, a1, a2) in enumerate(normalize_sos(sos)):
+    for k, (b0, b1, b2, a1, a2) in enumerate(sos_n):
         s0 = None if zi is None else jnp.asarray(zi)[..., k, :]
         y, s = _biquad_scan(y, b0, b1, b2, a1, a2, s_init=s0)
         states.append(s)

@@ -27,6 +27,7 @@ import functools
 import math as _math
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -101,6 +102,20 @@ def savgol_filter(x, window_length: int, polyorder: int, deriv: int = 0,
                     dtype=x.dtype)
     xp = _pad(x, window_length // 2, mode)
     batch_shape = xp.shape[:-1]
+    n_out = xp.shape[-1] - window_length + 1
+    if jax.default_backend() == "tpu" and not jnp.iscomplexobj(xp):
+        # valid correlation as the banded-matmul kernel: y[k] =
+        # sum_j xp[j] g[(wl-1) + k - j] with g = reversed kernel
+        # (lax.conv on this TPU stack is ~100x off; ops/pallas_upfirdn.py)
+        from vv_dsp_tpu.ops import pallas_upfirdn as _pu
+        g = np.asarray(savgol_coeffs_np(window_length, polyorder, deriv,
+                                        delta))[::-1]
+        if _pu.banded_supported(1, 1, window_length, window_length - 1):
+            xb2 = xp.reshape((-1, xp.shape[-1]))
+            y = _pu.upfirdn_banded_pallas(xb2, g, 1, 1, window_length - 1,
+                                          n_out)
+            y = y.reshape(batch_shape + (n_out,)).astype(x.dtype)
+            return apply_nan_policy(y, nan_policy)
     xb = xp.reshape((-1, 1, xp.shape[-1]))
     # Correlation (no flip), 'valid'.
     kern = w.reshape((1, 1, window_length))
