@@ -94,6 +94,25 @@ def main():
                 v + acc * 1e-30, up, down)),
             xv, n_samples=channels * n2, sample_rate=fs))
 
+    # --- IIR cascade / Savitzky-Golay / Hilbert (filter-module surfaces) ---
+    if not args.quick:
+        from vv_dsp_tpu.ops import iir as _iir
+        from vv_dsp_tpu.ops import savgol as _sg
+        from vv_dsp_tpu.ops import hilbert as _hb
+        sos4 = _iir.butter_sos(4, 0.2)
+        record(chain_benchmark(
+            "iir_butter4",
+            lambda v, acc: _use(_iir.iir_apply(sos4, v + acc * 1e-30)),
+            x, n_samples=total, sample_rate=fs))
+        record(chain_benchmark(
+            "savgol_31_3",
+            lambda v, acc: _use(_sg.savgol_filter(v + acc * 1e-30, 31, 3)),
+            x, n_samples=total, sample_rate=fs))
+        record(chain_benchmark(
+            "hilbert_envelope",
+            lambda v, acc: _use(_hb.envelope(v + acc * 1e-30)),
+            x, n_samples=total, sample_rate=fs))
+
     # --- end-to-end pipelines (bench_pipeline.c analog + north star) ---
     gate = SpectralGate()
     record(chain_benchmark(

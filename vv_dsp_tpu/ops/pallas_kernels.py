@@ -391,13 +391,20 @@ def stft_power_pallas(x, nfft: int, hop: int, window: str = "hann",
 def fir_apply_best(h, x):
     """Fastest FIR path for the current backend (chained-timing on TPU v5e,
     16ch x 480k f32): Pallas direct wins only for tiny taps (<=16: 1505
-    Msps); the block-Toeplitz MXU matmul form wins everywhere else
-    (~1100-1500 Msps vs 74-697 for conv/overlap-save)."""
+    Msps); the banded-matmul kernel wins for large taps (1024: 3.6 vs 4.6
+    ms for block-Toeplitz); the block-Toeplitz MXU matmul form covers the
+    middle (~1100-1500 Msps vs 74-697 for conv/overlap-save)."""
     from vv_dsp_tpu.ops import fir as _fir
     taps = jnp.shape(h)[-1]
     if _on_tpu():
         if x.ndim == 2 and taps <= 16:
             return fir_apply_pallas(h, x)
+        if x.ndim == 2 and taps >= 512:
+            from vv_dsp_tpu.ops import pallas_upfirdn as _pu
+            h_np = np.asarray(h, np.float64)
+            if _pu.banded_supported(1, 1, len(h_np), 0):
+                return _pu.upfirdn_banded_pallas(
+                    x, h_np, 1, 1, 0, x.shape[-1]).astype(x.dtype)
         return _fir.fir_apply_mxu(h, x)
     if taps <= 64:
         return _fir.fir_apply(h, x)
