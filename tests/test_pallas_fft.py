@@ -191,3 +191,46 @@ def test_stft_spectrum_stockham_matches_plan(rng, onesided):
     assert got.shape == want.shape
     scale = np.abs(want).max() + 1e-30
     np.testing.assert_allclose(got / scale, want / scale, rtol=0, atol=3e-6)
+
+
+@pytest.mark.parametrize("rfft_flag,nfft,hop,n", [
+    (True, 256, 64, 3000),
+    (False, 256, 64, 3000),
+    (True, 512, 128, 2100),
+    (True, 512, 512, 2048),   # hop == nfft, no overlap
+])
+def test_istft_stockham_matches_reconstruct(rng, rfft_flag, nfft, hop, n):
+    """Inverse kernel vs the plan's matmul reconstruct, including the
+    partial-coverage edge norm (first/last nfft-hop samples)."""
+    x = jnp.asarray(rng.standard_normal((2, n)).astype(np.float32))
+    plan = STFT(nfft, hop, "hann")
+    spec = plan.process(x, rfft=rfft_flag)
+    time = (jnp.fft.irfft(spec, nfft) if rfft_flag
+            else jnp.fft.ifft(spec).real.astype(jnp.float32))
+    want = np.asarray(plan._ola_norm(time.astype(jnp.float32), n))
+    got = np.asarray(pf.istft_stockham(spec, nfft, hop, n, "hann",
+                                       rfft=rfft_flag))
+    scale = np.abs(want).max() + 1e-30
+    # where the w^2 norm is tiny (partial-coverage edges; every hann frame
+    # boundary when hop == nfft) the division amplifies f32 rounding
+    # differences between the two computations arbitrarily — the
+    # reference's own roundtrip contract there is 5e-2. Hold the strict
+    # bound where coverage is full.
+    e = nfft
+    tight = 5e-6 if hop < nfft else 1e-2
+    np.testing.assert_allclose(got[:, e:-e] / scale, want[:, e:-e] / scale,
+                               rtol=0, atol=tight)
+    np.testing.assert_allclose(got / scale, want / scale, rtol=0, atol=1e-2)
+
+
+def test_istft_stockham_roundtrip_identity(rng):
+    nfft, hop, n = 512, 128, 4000
+    x = jnp.asarray(rng.standard_normal((1, n)).astype(np.float32))
+    plan = STFT(nfft, hop, "hann")
+    spec = plan.process(x, rfft=True)
+    got = np.asarray(pf.istft_stockham(spec, nfft, hop, n, rfft=True))
+    # identity holds only where window coverage is full (the first/last
+    # nfft-hop samples are not reconstructible: hann endpoints are zero)
+    pad = nfft - hop
+    np.testing.assert_allclose(got[:, pad:-pad], np.asarray(x)[:, pad:-pad],
+                               rtol=0, atol=3e-5)

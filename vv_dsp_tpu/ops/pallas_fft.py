@@ -52,6 +52,13 @@ _LSTOP = 64  # butterfly/matmul split point (see module docstring)
 _TK = 128    # frames per grid step (lane width)
 
 
+def _tile_lanes(nfft: int) -> int:
+    """Frames per grid step. 4096+ would need 64-lane tiles for VMEM, but
+    DMA lane offsets must stay 128-aligned, so larger transforms keep the
+    XLA four-step matmul tier instead (953 Msps at 4096 — acceptable)."""
+    return _TK
+
+
 def _kernel_precision():
     """Mosaic dots accept only HIGHEST and DEFAULT; map the runtime
     matmul-precision knob (config.set_matmul_precision): highest/high ->
@@ -230,7 +237,7 @@ def stft_power_stockham(x, nfft: int, hop: int, window: str = "hann",
         x = x.astype(jnp.float32)
     c, n = x.shape
     q = nfft // hop
-    tk = _TK
+    tk = _tile_lanes(nfft)
     lstop = min(_LSTOP, nfft)
     n_stages = (nfft // lstop).bit_length() - 1
     nf = 1 if n < nfft else 1 + (n - nfft + hop) // hop
@@ -327,7 +334,7 @@ def stft_spectrum_stockham(x, nfft: int, hop: int, window: str = "hann",
         x = x.astype(jnp.float32)
     c, n = x.shape
     q = nfft // hop
-    tk = _TK
+    tk = _tile_lanes(nfft)
     lstop = min(_LSTOP, nfft)
     n_stages = (nfft // lstop).bit_length() - 1
     nf = 1 if n < nfft else 1 + (n - nfft + hop) // hop
@@ -549,7 +556,7 @@ def stft_gate_pallas(x, nfft: int, hop: int, threshold: float,
         x = x.astype(jnp.float32)
     c, n = x.shape
     q = nfft // hop
-    tk = _TK
+    tk = _tile_lanes(nfft)
     lstop = min(_LSTOP, nfft)
     n_stages = (nfft // lstop).bit_length() - 1
     nf = 1 if n < nfft else 1 + (n - nfft + hop) // hop
@@ -616,6 +623,147 @@ def stft_gate_pallas(x, nfft: int, hop: int, threshold: float,
     return recon.reshape(c, steps * tk * hop)[:, :n]
 
 
+def _istft_kernel(re_hbm, im_hbm, w_ref, twr_ref, twi_ref, dpi_ref, out_ref,
+                  sre_ref, sim_ref, sems, *, nfft, hop, q, tk, n_stages,
+                  lstop):
+    c = pl.program_id(0)
+    st = pl.program_id(1)
+    d1 = pltpu.make_async_copy(
+        re_hbm.at[c, :, pl.ds(st * tk, tk)], sre_ref, sems.at[0])
+    d2 = pltpu.make_async_copy(
+        im_hbm.at[c, :, pl.ds(st * tk, tk)], sim_ref, sems.at[1])
+    d1.start()
+    d2.start()
+    d1.wait()
+    d2.wait()
+    dpiv = dpi_ref[:]
+    for b_ in range(nfft // lstop):
+        lo = b_ * lstop
+        packed = jnp.concatenate(
+            [sre_ref[lo:lo + lstop, :], sim_ref[lo:lo + lstop, :]], axis=0)
+        o = jnp.dot(dpiv, packed, preferred_element_type=jnp.float32,
+                    precision=_kernel_precision())
+        sre_ref[lo:lo + lstop, :] = o[:lstop]
+        sim_ref[lo:lo + lstop, :] = o[lstop:]
+    _inverse_stages(sre_ref, sim_ref, twr_ref, twi_ref, nfft=nfft, tk=tk,
+                    n_stages=n_stages)
+    y = sre_ref[:] * w_ref[:]
+    acc = jnp.zeros((hop, 2 * tk), jnp.float32)
+    for r in range(q):
+        part = jnp.pad(y[r * hop:(r + 1) * hop, :], ((0, 0), (0, tk)))
+        acc = acc + (part if r == 0 else pltpu.roll(part, r, 1))
+    out_ref[0, 0, :, :] = acc
+
+
+def istft_stockham(spec, nfft: int, hop: int, output_len: int,
+                   window: str = "hann", window_param=None,
+                   rfft: bool = False, interpret: bool | None = None):
+    """Inverse STFT with w^2-normalized overlap-add via the inverse
+    Stockham kernel: spec (channels, frames, bins) complex (bins = nfft, or
+    nfft//2+1 Hermitian-packed with rfft=True) -> (channels, output_len).
+    Matches STFT(...).reconstruct to f32 rounding INCLUDING the reference's
+    partial-coverage edge norm (tools/dump_stft_roundtrip.c:50-54): the
+    exact overlap-add w^2 norm for this (frames, output_len) is built
+    host-side and divided out after the kernel."""
+    from vv_dsp_tpu.ops.window import get_window_np
+
+    if interpret is None:
+        interpret = not _on_tpu()
+    if not stft_mel_supported(nfft, hop):
+        raise ValueError("unsupported geometry; check stft_mel_supported()")
+    if spec.ndim != 3:
+        raise ValueError("expected (channels, frames, bins)")
+    c, nf, bins = spec.shape
+    q = nfft // hop
+    tk = _tile_lanes(nfft)
+    lstop = min(_LSTOP, nfft)
+    n_stages = (nfft // lstop).bit_length() - 1
+
+    # permuted full-spectrum rows from the (possibly Hermitian-packed)
+    # input: row p holds bin b = perm[p]; for packed input, bins above
+    # nfft//2 come from the conjugate mirror
+    perm = row_to_bin_perm(nfft, lstop)
+    if rfft:
+        if bins != nfft // 2 + 1:
+            raise ValueError("rfft=True expects nfft//2+1 bins")
+        src = np.where(perm <= nfft // 2, perm, nfft - perm)
+        sgn = np.where(perm <= nfft // 2, 1.0, -1.0).astype(np.float32)
+        re_n = jnp.take(jnp.real(spec), jnp.asarray(src), axis=-1)
+        im_n = jnp.take(jnp.imag(spec), jnp.asarray(src), axis=-1) \
+            * jnp.asarray(sgn)
+    else:
+        if bins != nfft:
+            raise ValueError("rfft=False expects nfft bins")
+        idx = jnp.asarray(perm)
+        re_n = jnp.take(jnp.real(spec), idx, axis=-1)
+        im_n = jnp.take(jnp.imag(spec), idx, axis=-1)
+    re_n = re_n.astype(jnp.float32)
+    im_n = im_n.astype(jnp.float32)
+
+    # +tk: the final frames' OLA spill must land in a kept strip
+    nf_p = _round_up(nf, tk) + tk
+    re_t = jnp.swapaxes(jnp.pad(re_n, ((0, 0), (0, nf_p - nf), (0, 0))),
+                        -1, -2)  # (c, nfft, nf_p)
+    im_t = jnp.swapaxes(jnp.pad(im_n, ((0, 0), (0, nf_p - nf), (0, 0))),
+                        -1, -2)
+
+    w_np = get_window_np(window, nfft, window_param).astype(np.float32)
+    twr, twi = _stage_twiddles(nfft, n_stages)
+    dpi = _packed_idft(lstop, nfft)
+    steps = nf_p // tk
+    kernel = functools.partial(
+        _istft_kernel, nfft=nfft, hop=hop, q=q, tk=tk, n_stages=n_stages,
+        lstop=lstop)
+    strips = pl.pallas_call(
+        kernel,
+        grid=(c, steps),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec((nfft, 1), lambda c, s: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(twr.shape, lambda c, s: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(twi.shape, lambda c, s: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(dpi.shape, lambda c, s: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, hop, 2 * tk),
+                               lambda c, s: (c, s, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((c, steps, hop, 2 * tk), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((nfft, tk), jnp.float32),
+            pltpu.VMEM((nfft, tk), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(re_t, im_t, jnp.asarray(w_np.reshape(nfft, 1)), jnp.asarray(twr),
+      jnp.asarray(twi), jnp.asarray(dpi))
+
+    strips = jnp.swapaxes(strips, -1, -2)
+    main = strips[:, :, :tk, :].reshape(c, steps * tk * hop)
+    spill = strips[:, :, tk:, :].reshape(c, steps * tk * hop)
+    recon = main + jnp.pad(spill, ((0, 0), (tk * hop, 0)))[:, :steps * tk
+                                                           * hop]
+    total = steps * tk * hop
+    if output_len > total:
+        recon = jnp.pad(recon, ((0, 0), (0, output_len - total)))
+    recon = recon[:, :output_len]
+
+    # exact reference norm: w^2 overlap-added over the REAL frames only,
+    # with the >1e-12 guard (partial coverage at the edges preserved)
+    wsq = w_np.astype(np.float64) ** 2
+    norm_np = np.zeros(max(output_len, (nf - 1) * hop + nfft), np.float64)
+    for f in range(nf):
+        norm_np[f * hop: f * hop + nfft] += wsq
+    norm_np = norm_np[:output_len]
+    norm = jnp.asarray(np.where(norm_np > 1e-12, norm_np, 1.0)
+                       .astype(np.float32))
+    return recon / norm
+
+
 def stft_mel_energies_pallas(x, nfft: int, hop: int, n_mels: int,
                              sample_rate: float, window: str = "hann",
                              window_param=None, fmin: float = 0.0,
@@ -645,7 +793,7 @@ def stft_mel_energies_pallas(x, nfft: int, hop: int, n_mels: int,
 
     c, n = x.shape
     q = nfft // hop
-    tk = _TK
+    tk = _tile_lanes(nfft)
     lstop = min(_LSTOP, nfft)
     n_stages = (nfft // lstop).bit_length() - 1
     nf = 1 if n < nfft else 1 + (n - nfft + hop) // hop

@@ -194,6 +194,18 @@ class STFT:
         dump_stft_roundtrip's per-sample y = recon/norm with norm > 1e-12
         guard (tools/dump_stft_roundtrip.c:50-54).
         """
+        if spec.ndim == 3 and self.nfft >= 2048:
+            # like process(): below 2048 the dense c2r matmul + strided OLA
+            # wins (the kernel pays permute/transpose passes over the
+            # spectrum, which dominates when the transform math is cheap)
+            from vv_dsp_tpu.ops import pallas_fft as _pf
+            import jax as _jax
+            if (_pf.stft_mel_supported(self.nfft, self.hop)
+                    and _jax.default_backend() == "tpu"):
+                # inverse Stockham kernel + in-kernel OLA strips
+                return _pf.istft_stockham(spec, self.nfft, self.hop,
+                                          output_len, self.window,
+                                          self.window_param, rfft=rfft)
         if rfft:
             time = _fft.irfft(spec, self.nfft)
         else:
