@@ -234,3 +234,17 @@ def test_istft_stockham_roundtrip_identity(rng):
     pad = nfft - hop
     np.testing.assert_allclose(got[:, pad:-pad], np.asarray(x)[:, pad:-pad],
                                rtol=0, atol=3e-5)
+
+
+def test_stft_mfcc_pallas_full_fusion(rng):
+    """One-kernel MFCC (log+DCT+lifter fused) vs the staged composition."""
+    x = jnp.asarray(rng.standard_normal((2, 4000)).astype(np.float32))
+    nfft, hop, n_mels, n_mfcc, sr = 512, 128, 26, 13, 16000.0
+    plan = STFT(nfft, hop, "hann")
+    re, im = plan.power_parts(x)
+    want = np.asarray(_mel.mfcc_from_power_parts(re, im, nfft, n_mels,
+                                                 n_mfcc, sr, lifter=22.0))
+    got = np.asarray(pf.stft_mfcc_pallas(x, nfft, hop, n_mels, n_mfcc, sr,
+                                         lifter=22.0))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=0, atol=5e-4)

@@ -218,7 +218,16 @@ def mfcc_stft(x, nfft: int, hop: int, n_mels: int, n_coeffs: int,
               log_epsilon: float = 1e-10, lifter: float = 0.0,
               variant: str = "htk"):
     """Signal -> MFCC via the best fused STFT->mel path (see
-    mel_energies_stft); log + DCT-II + lifter are the cheap tail."""
+    mel_energies_stft); on TPU the log + DCT-II + lifter tail fuses into
+    the same kernel pass (stft_mfcc_pallas)."""
+    from vv_dsp_tpu.ops import pallas_fft as _pf
+
+    if (x.ndim == 2 and not jnp.iscomplexobj(x)
+            and _pf.stft_mel_supported(nfft, hop)
+            and jax.default_backend() == "tpu"):
+        return _pf.stft_mfcc_pallas(
+            x, nfft, hop, n_mels, n_coeffs, sample_rate, window,
+            window_param, fmin, fmax, log_epsilon, lifter, variant)
     mel_e = mel_energies_stft(x, nfft, hop, n_mels, sample_rate, window,
                               window_param, fmin, fmax, variant)
     return mfcc_from_log_mel(jnp.log(mel_e + log_epsilon), n_coeffs, lifter)

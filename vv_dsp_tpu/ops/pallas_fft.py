@@ -151,8 +151,12 @@ def stft_mel_supported(nfft: int, hop: int, n: int | None = None) -> bool:
 
 
 def _stft_mel_kernel(xt_hbm, w_ref, twr_ref, twi_ref, dp_ref, mel_ref,
-                     out_ref, xv, sre_ref, sim_ref, sem, *,
-                     nfft, hop, q, tk, lanes_p, n_stages, lstop):
+                     *rest, nfft, hop, q, tk, lanes_p, n_stages, lstop,
+                     fuse_mfcc=False, log_eps=0.0):
+    if fuse_mfcc:
+        dct_ref, out_ref, xv, sre_ref, sim_ref, sem = rest
+    else:
+        out_ref, xv, sre_ref, sim_ref, sem = rest
     c = pl.program_id(0)
     fbk = pl.program_id(1)
     dma = pltpu.make_async_copy(
@@ -186,6 +190,14 @@ def _stft_mel_kernel(xt_hbm, w_ref, twr_ref, twi_ref, dp_ref, mel_ref,
     mel_e = jnp.dot(mel_ref[:], sre_ref[:],
                     preferred_element_type=jnp.float32,
                     precision=_kernel_precision())
+    if fuse_mfcc:
+        # full MFCC tail in-kernel: log-mel -> lifted DCT-II rows (the
+        # lifter weights and the zero columns masking the padded mel rows
+        # are folded into the dct matrix host-side)
+        lm = jnp.log(mel_e + jnp.float32(log_eps))
+        mel_e = jnp.dot(dct_ref[:], lm,
+                        preferred_element_type=jnp.float32,
+                        precision=_kernel_precision())
     out_ref[0, :, :] = mel_e.T
 
 
@@ -764,17 +776,9 @@ def istft_stockham(spec, nfft: int, hop: int, output_len: int,
     return recon / norm
 
 
-def stft_mel_energies_pallas(x, nfft: int, hop: int, n_mels: int,
-                             sample_rate: float, window: str = "hann",
-                             window_param=None, fmin: float = 0.0,
-                             fmax: float | None = None,
-                             variant: str = "htk",
-                             interpret: bool | None = None):
-    """Fused STFT power -> mel energies: (channels, n) real ->
-    (channels, frames, n_mels) f32. Numerically equivalent (f32 rounding) to
-    mel_energies_from_power_parts(*STFT(...).power_parts(x), ...); frame
-    count and tail zero-padding match STFT.num_frames / spectrogram
-    (src/spectral/stft.c:118,124-137)."""
+def _stft_mel_call(x, nfft, hop, n_mels, sample_rate, window, window_param,
+                   fmin, fmax, variant, interpret, dct_lift=None,
+                   log_eps=0.0):
     from vv_dsp_tpu.ops.window import get_window_np
 
     if interpret is None:
@@ -782,7 +786,7 @@ def stft_mel_energies_pallas(x, nfft: int, hop: int, n_mels: int,
     if not stft_mel_supported(nfft, hop):
         raise ValueError("unsupported geometry; check stft_mel_supported()")
     if jnp.iscomplexobj(x):
-        raise TypeError("stft_mel_energies_pallas requires real input")
+        raise TypeError("real input required")
     if x.ndim != 2:
         raise ValueError("expected (channels, n)")
     x = config.as_compute(x)
@@ -809,26 +813,28 @@ def stft_mel_energies_pallas(x, nfft: int, hop: int, n_mels: int,
     melm = _folded_mel_matrix(nfft, n_mels, float(sample_rate), float(fmin),
                               float(fmax), variant, lstop)
     mels_p = melm.shape[0]
+    fuse = dct_lift is not None
 
     kernel = functools.partial(
         _stft_mel_kernel, nfft=nfft, hop=hop, q=q, tk=tk, lanes_p=lanes_p,
-        n_stages=n_stages, lstop=lstop)
+        n_stages=n_stages, lstop=lstop, fuse_mfcc=fuse,
+        log_eps=float(log_eps))
+    const = lambda shape: pl.BlockSpec(shape, lambda c, f: (0, 0),
+                                       memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.HBM),
+        const((nfft, 1)), const(twr.shape), const(twi.shape),
+        const(dp.shape), const(melm.shape),
+    ]
+    args = [xt, jnp.asarray(w_np.reshape(nfft, 1)), jnp.asarray(twr),
+            jnp.asarray(twi), jnp.asarray(dp), jnp.asarray(melm)]
+    if fuse:
+        in_specs.append(const(dct_lift.shape))
+        args.append(jnp.asarray(dct_lift))
     out = pl.pallas_call(
         kernel,
         grid=(c, nf_p // tk),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.HBM),
-            pl.BlockSpec((nfft, 1), lambda c, f: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(twr.shape, lambda c, f: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(twi.shape, lambda c, f: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(dp.shape, lambda c, f: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(melm.shape, lambda c, f: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, tk, mels_p), lambda c, f: (c, f, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((c, nf_p, mels_p), jnp.float32),
@@ -839,6 +845,45 @@ def stft_mel_energies_pallas(x, nfft: int, hop: int, n_mels: int,
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
-    )(xt, jnp.asarray(w_np.reshape(nfft, 1)), jnp.asarray(twr),
-      jnp.asarray(twi), jnp.asarray(dp), jnp.asarray(melm))
+    )(*args)
+    return out, nf
+
+
+def stft_mel_energies_pallas(x, nfft: int, hop: int, n_mels: int,
+                             sample_rate: float, window: str = "hann",
+                             window_param=None, fmin: float = 0.0,
+                             fmax: float | None = None,
+                             variant: str = "htk",
+                             interpret: bool | None = None):
+    """Fused STFT power -> mel energies: (channels, n) real ->
+    (channels, frames, n_mels) f32. Numerically equivalent (f32 rounding) to
+    mel_energies_from_power_parts(*STFT(...).power_parts(x), ...); frame
+    count and tail zero-padding match STFT.num_frames / spectrogram
+    (src/spectral/stft.c:118,124-137)."""
+    out, nf = _stft_mel_call(x, nfft, hop, n_mels, sample_rate, window,
+                             window_param, fmin, fmax, variant, interpret)
     return out[:, :nf, :n_mels]
+
+
+def stft_mfcc_pallas(x, nfft: int, hop: int, n_mels: int, n_mfcc: int,
+                     sample_rate: float, window: str = "hann",
+                     window_param=None, fmin: float = 0.0,
+                     fmax: float | None = None, log_epsilon: float = 1e-10,
+                     lifter: float = 0.0, variant: str = "htk",
+                     interpret: bool | None = None):
+    """The FULL MFCC pipeline in one kernel pass: STFT power -> mel ->
+    log -> lifted DCT-II, nothing but the signal read and the
+    (frames, n_mfcc) write in HBM. Matches mfcc_from_power_parts(...)
+    (log/DCT in f32)."""
+    from vv_dsp_tpu.ops.dct import _dct2_matrix
+    from vv_dsp_tpu.ops.mel import _lifter_np
+
+    mels_p = _round_up(n_mels, 128)
+    d = np.zeros((mels_p, mels_p), np.float32)
+    dm = _dct2_matrix(n_mels)[:n_mfcc] * _lifter_np(n_mfcc,
+                                                    float(lifter))[:, None]
+    d[:n_mfcc, :n_mels] = dm.astype(np.float32)
+    out, nf = _stft_mel_call(x, nfft, hop, n_mels, sample_rate, window,
+                             window_param, fmin, fmax, variant, interpret,
+                             dct_lift=d, log_eps=log_epsilon)
+    return out[:, :nf, :n_mfcc]
