@@ -99,21 +99,19 @@ def _band_matrix(g_key, up: int, down: int, offset: int, b_out: int,
                     0.0).astype(np.float32)
 
 
-def _kern(xt_hbm, w_ref, out_ref, xv, ext, sem, *, b_in, k_wp, n_roll):
-    cch = pl.program_id(0)
-    jb = pl.program_id(1)
-    dma = pltpu.make_async_copy(
-        xt_hbm.at[cch, :, pl.ds(jb * 128, 256)], xv, sem)
-    dma.start()
-    dma.wait()
-    # ext rows [a*b_in, ...) come from lane-neighbor block m+a (roll within
-    # the 256-lane window so lane 127 reads lane 128, not a wraparound)
+def _kern(x_main, x_next, w_ref, out_ref, ext, *, b_in, k_wp, n_roll):
+    # x_main/x_next: auto-pipelined (b_in, 128) lane-blocks j and j+1 of the
+    # same array — Pallas double-buffers BlockSpec inputs across grid steps,
+    # which manual in-kernel DMA would serialize (measured ~1 ms of the
+    # fused head). ext rows [a*b_in, ...) come from lane-neighbor segment
+    # m+a: roll within the 256-lane concat so lane 127 reads lane 128.
+    xv = jnp.concatenate([x_main[0], x_next[0]], axis=1)
     for a in range(n_roll):
         lo = a * b_in
         if lo >= k_wp:
             break
         hi = min(k_wp, lo + b_in)
-        src = xv[:] if a == 0 else pltpu.roll(xv[:], 256 - a, 1)
+        src = xv if a == 0 else pltpu.roll(xv, 256 - a, 1)
         ext[lo:hi, :] = src[: hi - lo, :128]
     out_ref[0, :, :] = jnp.dot(w_ref[:], ext[:],
                                preferred_element_type=jnp.float32,
@@ -156,7 +154,10 @@ def upfirdn_banded_pallas(x, g, up: int, down: int, offset: int, n_out: int,
         kernel,
         grid=(c_, nblk_p // 128 - 1),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec((1, b_in, 128), lambda c, j: (c, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b_in, 128), lambda c, j: (c, 0, j + 1),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec(w_np.shape, lambda c, j: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -164,11 +165,9 @@ def upfirdn_banded_pallas(x, g, up: int, down: int, offset: int, n_out: int,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((c_, b_out, nblk_p), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((b_in, 256), jnp.float32),
             pltpu.VMEM((k_wp, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
-    )(xt, jnp.asarray(w_np))
+    )(xt, xt, jnp.asarray(w_np))
     y = jnp.swapaxes(out, -1, -2).reshape(c_, nblk_p * b_out)
     return y[:, :n_out]
