@@ -312,3 +312,17 @@ class TestBlockStateSpacePath:
         assert not viir._block_path_ok(viir.normalize_sos(sos), 20000)
         y = viir.iir_apply(sos, x[:, :100])  # runs (and diverges) via scan
         assert y.shape == (1, 100)
+
+
+def test_block_path_unbatched_zi(rng):
+    """scipy-style unbatched (n_sections, 2) zi must broadcast on the block
+    path exactly like the scan path does (review finding: the same call
+    worked for n < 8192 and raised for n >= 8192)."""
+    scipy_signal = pytest.importorskip("scipy.signal")
+    sos = scipy_signal.butter(4, 0.25, output="sos")
+    zi = viir.sosfilt_zi_np(sos).astype(np.float32)       # (2, 2)
+    x_long = jnp.asarray(rng.standard_normal((3, 20000)), dtype=jnp.float32)
+    y_long = viir.iir_apply(sos, x_long, zi=jnp.asarray(zi))
+    y_short = viir.iir_apply(sos, x_long[:, :4000], zi=jnp.asarray(zi))
+    np.testing.assert_allclose(np.asarray(y_long[:, :4000]),
+                               np.asarray(y_short), rtol=1e-4, atol=1e-5)

@@ -248,3 +248,10 @@ def test_stft_mfcc_pallas_full_fusion(rng):
                                          lifter=22.0))
     assert got.shape == want.shape
     np.testing.assert_allclose(got, want, rtol=0, atol=5e-4)
+
+
+def test_supported_gate_rejects_extreme_hop():
+    """q = nfft/hop > 128 would wrap the 256-lane OLA rolls (review
+    finding): the gate must refuse so dispatch falls back to XLA."""
+    assert not pf.stft_mel_supported(2048, 8)      # q = 256
+    assert pf.stft_mel_supported(2048, 16)         # q = 128 is the cap

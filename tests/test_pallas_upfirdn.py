@@ -77,3 +77,24 @@ def test_fused_head_dispatch_parity(sig):
     fused = rs.fir_resample_fused(h, sig, 4, 3)
     np.testing.assert_allclose(np.asarray(fused), np.asarray(staged),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_halo_span_bound_rejected():
+    """Halo rolls reach at most 128 neighbor lanes; geometries needing more
+    (huge up with tiny b_in) must be refused, not silently wrapped (review
+    finding: up=512 composite filters corrupted far segments)."""
+    # up=512, down=1, composite ~300k taps -> b_in tiny, span enormous
+    assert not pu.banded_supported(512, 1, 300_000, 150_000)
+
+
+def test_fir_apply_best_traced_taps(rng):
+    """Learned (traced) taps under jit must fall through to the XLA path
+    instead of crashing on np.asarray (review finding)."""
+    import jax
+    from vv_dsp_tpu.ops import pallas_kernels as pk
+    x = jnp.asarray(rng.standard_normal((2, 4000)), dtype=jnp.float32)
+    h = jnp.asarray(rng.standard_normal(600), dtype=jnp.float32) * 0.01
+    y = jax.jit(pk.fir_apply_best)(h, x)   # h traced inside jit
+    want = _fir.fir_apply(h, x)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)

@@ -234,7 +234,11 @@ def _iir_apply_block(sos_n, x, zi):
             [jnp.zeros(lead + (1, S), dt), s_after[..., :-1, :]], axis=-2)
         s_last = s_after[..., -1, :]
     else:
-        s0 = jnp.asarray(zi, dtype=dt).reshape(lead + (S,))
+        # accept scipy-style unbatched (n_sections, 2) zi like the scan
+        # path: broadcast to the batch before flattening to cascade order
+        zi_b = jnp.broadcast_to(jnp.asarray(zi, dtype=dt),
+                                lead + (n_sec, 2))
+        s0 = zi_b.reshape(lead + (S,))
         s_after = b_cum + jnp.einsum("...nij,...j->...ni", a_cum, s0)
         s_entry = jnp.concatenate(
             [jnp.broadcast_to(s0[..., None, :], lead + (1, S)),

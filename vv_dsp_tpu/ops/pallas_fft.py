@@ -59,15 +59,7 @@ def _tile_lanes(nfft: int) -> int:
     return _TK
 
 
-def _kernel_precision():
-    """Mosaic dots accept only HIGHEST and DEFAULT; map the runtime
-    matmul-precision knob (config.set_matmul_precision): highest/high ->
-    HIGHEST (full f32 accumulation), default -> DEFAULT (bf16 passes, the
-    sanctioned speed-for-accuracy trade)."""
-    from vv_dsp_tpu import config as _c
-    return (jax.lax.Precision.DEFAULT
-            if _c.MATMUL_PRECISION == jax.lax.Precision.DEFAULT
-            else jax.lax.Precision.HIGHEST)
+from vv_dsp_tpu.ops.pallas_kernels import _kernel_precision
 
 
 def _on_tpu() -> bool:
@@ -145,9 +137,13 @@ def _folded_mel_matrix(nfft: int, n_mels: int, sample_rate: float,
 def stft_mel_supported(nfft: int, hop: int, n: int | None = None) -> bool:
     """Geometry the fused kernel handles: pow2 nfft in [128, 2048] (VMEM
     bound: the (nfft, 128) re/im tiles plus stage temporaries), hop | nfft,
-    sublane-aligned hop. Anything else falls back to the XLA paths."""
+    sublane-aligned hop, and q = nfft/hop <= 128 — the framing and OLA
+    lane-rolls operate in a 256-lane window, so a frame may only touch
+    lanes j..j+q-1 with j < 128 (q = 256 silently wraps the roll).
+    Anything else falls back to the XLA paths."""
     return (128 <= nfft <= 2048 and nfft & (nfft - 1) == 0
-            and hop > 0 and nfft % hop == 0 and hop % 8 == 0)
+            and hop > 0 and nfft % hop == 0 and hop % 8 == 0
+            and nfft // hop <= 128)
 
 
 def _stft_mel_kernel(xt_hbm, w_ref, twr_ref, twi_ref, dp_ref, mel_ref,
@@ -667,6 +663,27 @@ def _istft_kernel(re_hbm, im_hbm, w_ref, twr_ref, twi_ref, dpi_ref, out_ref,
     out_ref[0, 0, :, :] = acc
 
 
+@functools.lru_cache(maxsize=32)
+def _ola_norm_table(nfft: int, hop: int, nf: int, output_len: int,
+                    window: str, window_param) -> np.ndarray:
+    """w^2 overlap-add norm over nf frames (guarded), vectorized: q block
+    placements of an (nf, hop) broadcast instead of an O(nf*nfft) Python
+    loop (which cost hundreds of host ms per retrace at small hops)."""
+    from vv_dsp_tpu.ops.window import get_window_np
+
+    wsq = get_window_np(window, nfft, window_param).astype(np.float64) ** 2
+    q = nfft // hop
+    blocks = nf + q - 1
+    acc = np.zeros((blocks, hop), np.float64)
+    for r in range(q):
+        acc[r: r + nf] += wsq[r * hop: (r + 1) * hop][None, :]
+    flat = acc.reshape(blocks * hop)
+    if output_len > flat.shape[0]:
+        flat = np.pad(flat, (0, output_len - flat.shape[0]))
+    flat = flat[:output_len]
+    return np.where(flat > 1e-12, flat, 1.0).astype(np.float32)
+
+
 def istft_stockham(spec, nfft: int, hop: int, output_len: int,
                    window: str = "hann", window_param=None,
                    rfft: bool = False, interpret: bool | None = None):
@@ -766,13 +783,8 @@ def istft_stockham(spec, nfft: int, hop: int, output_len: int,
 
     # exact reference norm: w^2 overlap-added over the REAL frames only,
     # with the >1e-12 guard (partial coverage at the edges preserved)
-    wsq = w_np.astype(np.float64) ** 2
-    norm_np = np.zeros(max(output_len, (nf - 1) * hop + nfft), np.float64)
-    for f in range(nf):
-        norm_np[f * hop: f * hop + nfft] += wsq
-    norm_np = norm_np[:output_len]
-    norm = jnp.asarray(np.where(norm_np > 1e-12, norm_np, 1.0)
-                       .astype(np.float32))
+    norm = jnp.asarray(_ola_norm_table(nfft, hop, nf, output_len, window,
+                                       window_param))
     return recon / norm
 
 

@@ -35,6 +35,17 @@ from jax.experimental.pallas import tpu as pltpu
 from vv_dsp_tpu.ops import resample as _resample
 
 
+def _kernel_precision():
+    """Mosaic dots accept only HIGHEST and DEFAULT; map the runtime
+    matmul-precision knob (config.set_matmul_precision): highest/high ->
+    HIGHEST (full f32 accumulation), default -> DEFAULT (bf16 passes, the
+    sanctioned speed-for-accuracy trade)."""
+    from vv_dsp_tpu import config as _c
+    return (jax.lax.Precision.DEFAULT
+            if _c.MATMUL_PRECISION == jax.lax.Precision.DEFAULT
+            else jax.lax.Precision.HIGHEST)
+
+
 def _on_tpu() -> bool:
     return jax.default_backend() == "tpu"
 
@@ -399,7 +410,10 @@ def fir_apply_best(h, x):
     if _on_tpu():
         if x.ndim == 2 and taps <= 16:
             return fir_apply_pallas(h, x)
-        if x.ndim == 2 and taps >= 512:
+        if (x.ndim == 2 and taps >= 512
+                and not isinstance(h, jax.core.Tracer)):
+            # traced taps (learned coefficients under jit) stay on the
+            # fir_apply_mxu path, which supports them
             from vv_dsp_tpu.ops import pallas_upfirdn as _pu
             h_np = np.asarray(h, np.float64)
             if _pu.banded_supported(1, 1, len(h_np), 0):

@@ -42,15 +42,7 @@ _EXT_ROWS_CAP = 4096            # ext scratch rows (k_w) cap
 _B_IN_CAP = 2048                # DMA window rows cap
 
 
-def _kernel_precision():
-    """Mosaic dots accept only HIGHEST and DEFAULT; map the runtime
-    matmul-precision knob (config.set_matmul_precision): highest/high ->
-    HIGHEST (full f32 accumulation), default -> DEFAULT (bf16 passes, the
-    sanctioned speed-for-accuracy trade)."""
-    from vv_dsp_tpu import config as _c
-    return (jax.lax.Precision.DEFAULT
-            if _c.MATMUL_PRECISION == jax.lax.Precision.DEFAULT
-            else jax.lax.Precision.HIGHEST)
+from vv_dsp_tpu.ops.pallas_kernels import _kernel_precision
 
 
 def _on_tpu() -> bool:
@@ -77,7 +69,10 @@ def pick_b_out(up: int, down: int, len_g: int, offset: int) -> int | None:
         b_out = _round_up(base, up)
         b_in, _, k_wp = _geometry(up, down, len_g, offset, b_out)
         if (b_out * k_wp * 4 <= _W_VMEM_CAP and k_wp <= _EXT_ROWS_CAP
-                and b_in <= _B_IN_CAP and b_out <= 4096):
+                and b_in <= _B_IN_CAP and b_out <= 4096
+                # halo rolls read lane f + a, f < 128, inside a 256-lane
+                # window: the neighbor span must stay within it
+                and -(-k_wp // b_in) - 1 <= 128):
             return b_out
     return None
 
