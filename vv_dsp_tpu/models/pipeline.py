@@ -148,14 +148,27 @@ class SpectralGate:
         xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(pad, pad)])
         n_pad = xp.shape[-1]
         from vv_dsp_tpu.ops import pallas_fft as _pf
+        from vv_dsp_tpu.utils.kernel_grad import kernel_with_xla_vjp
         if (x.ndim == 2 and not jnp.iscomplexobj(x)
                 and _pf.stft_gate_supported(self.nfft, self.hop)
                 and jax.default_backend() == "tpu"):
             # whole pipeline in ONE Stockham kernel pass (every retained
             # sample exact; the pad slices absorb the kernel's periodic-norm
             # edge semantics — ops/pallas_fft.py:stft_gate_pallas)
-            out = _pf.stft_gate_pallas(xp, self.nfft, self.hop,
-                                       self.threshold, self.window)
+            fast = lambda xv: _pf.stft_gate_pallas(
+                xv, self.nfft, self.hop, self.threshold, self.window)
+
+            def ref(xv):  # parts-form XLA path for the backward pass
+                re, im = self.stft_plan.power_parts(xv)
+                p2 = re * re + im * im
+                peak2 = jnp.max(p2, axis=-1, keepdims=True)
+                keep = p2 >= (self.threshold * self.threshold) * peak2
+                zero = jnp.zeros_like(re)
+                return self.stft_plan.reconstruct_parts(
+                    jnp.where(keep, re, zero), jnp.where(keep, im, zero),
+                    xv.shape[-1])
+
+            out = kernel_with_xla_vjp(fast, ref)(xp)
             return out[..., pad:pad + n]
         if self.stft_plan.supports_direct():
             # parts-form roundtrip: framing-free forward, gate on squared

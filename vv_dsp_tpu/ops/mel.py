@@ -190,14 +190,23 @@ def mel_energies_stft(x, nfft: int, hop: int, n_mels: int,
     power-parts matmul path, else the plain power spectrogram."""
     from vv_dsp_tpu.ops import pallas_fft as _pf
     from vv_dsp_tpu.ops.stft import STFT
+    from vv_dsp_tpu.utils.kernel_grad import kernel_with_xla_vjp
 
+    plan = STFT(nfft, hop, window, window_param)
     if (x.ndim == 2 and not jnp.iscomplexobj(x)
             and _pf.stft_mel_supported(nfft, hop)
             and jax.default_backend() == "tpu"):
-        return _pf.stft_mel_energies_pallas(
-            x, nfft, hop, n_mels, sample_rate, window, window_param,
+        fast = lambda xv: _pf.stft_mel_energies_pallas(
+            xv, nfft, hop, n_mels, sample_rate, window, window_param,
             fmin, fmax, variant)
-    plan = STFT(nfft, hop, window, window_param)
+
+        def ref(xv):  # XLA path for the backward pass (kernel_grad)
+            re, im = plan.power_parts(xv)
+            return mel_energies_from_power_parts(re, im, nfft, n_mels,
+                                                 sample_rate, fmin, fmax,
+                                                 variant)
+
+        return kernel_with_xla_vjp(fast, ref)(x)
     if plan.supports_direct() and not jnp.iscomplexobj(x):
         re, im = plan.power_parts(x)
         return mel_energies_from_power_parts(re, im, nfft, n_mels,
@@ -221,13 +230,24 @@ def mfcc_stft(x, nfft: int, hop: int, n_mels: int, n_coeffs: int,
     mel_energies_stft); on TPU the log + DCT-II + lifter tail fuses into
     the same kernel pass (stft_mfcc_pallas)."""
     from vv_dsp_tpu.ops import pallas_fft as _pf
+    from vv_dsp_tpu.ops.stft import STFT
+    from vv_dsp_tpu.utils.kernel_grad import kernel_with_xla_vjp
 
     if (x.ndim == 2 and not jnp.iscomplexobj(x)
             and _pf.stft_mel_supported(nfft, hop)
             and jax.default_backend() == "tpu"):
-        return _pf.stft_mfcc_pallas(
-            x, nfft, hop, n_mels, n_coeffs, sample_rate, window,
+        fast = lambda xv: _pf.stft_mfcc_pallas(
+            xv, nfft, hop, n_mels, n_coeffs, sample_rate, window,
             window_param, fmin, fmax, log_epsilon, lifter, variant)
+
+        def ref(xv):  # XLA path for the backward pass (kernel_grad)
+            plan = STFT(nfft, hop, window, window_param)
+            re, im = plan.power_parts(xv)
+            return mfcc_from_power_parts(re, im, nfft, n_mels, n_coeffs,
+                                         sample_rate, fmin, fmax,
+                                         log_epsilon, lifter, variant)
+
+        return kernel_with_xla_vjp(fast, ref)(x)
     mel_e = mel_energies_stft(x, nfft, hop, n_mels, sample_rate, window,
                               window_param, fmin, fmax, variant)
     return mfcc_from_log_mel(jnp.log(mel_e + log_epsilon), n_coeffs, lifter)

@@ -406,10 +406,12 @@ def fir_apply_best(h, x):
     ms for block-Toeplitz); the block-Toeplitz MXU matmul form covers the
     middle (~1100-1500 Msps vs 74-697 for conv/overlap-save)."""
     from vv_dsp_tpu.ops import fir as _fir
+    from vv_dsp_tpu.utils.kernel_grad import kernel_with_xla_vjp
     taps = jnp.shape(h)[-1]
     if _on_tpu():
         if x.ndim == 2 and taps <= 16:
-            return fir_apply_pallas(h, x)
+            # backward differentiates the XLA direct form (incl. d/dh)
+            return kernel_with_xla_vjp(fir_apply_pallas, _fir.fir_apply)(h, x)
         if (x.ndim == 2 and taps >= 512
                 and not isinstance(h, jax.core.Tracer)):
             # traced taps (learned coefficients under jit) stay on the
@@ -417,8 +419,11 @@ def fir_apply_best(h, x):
             from vv_dsp_tpu.ops import pallas_upfirdn as _pu
             h_np = np.asarray(h, np.float64)
             if _pu.banded_supported(1, 1, len(h_np), 0):
-                return _pu.upfirdn_banded_pallas(
-                    x, h_np, 1, 1, 0, x.shape[-1]).astype(x.dtype)
+                return kernel_with_xla_vjp(
+                    lambda xv: _pu.upfirdn_banded_pallas(
+                        xv, h_np, 1, 1, 0, xv.shape[-1]).astype(xv.dtype),
+                    lambda xv: _fir.fir_apply_mxu(h_np.astype(xv.dtype), xv),
+                )(x)
         return _fir.fir_apply_mxu(h, x)
     if taps <= 64:
         return _fir.fir_apply(h, x)
@@ -444,11 +449,17 @@ def resample_poly_best(x, up: int, down: int):
         return x
     if _on_tpu() and x.ndim == 2 and up_r < 32:
         # banded-matmul kernel: 3.4 ms vs 6.9 (per-phase Pallas) / 12.1
-        # (frames-matmul) for 4/3 at 16ch x 479k (ops/pallas_upfirdn.py)
+        # (frames-matmul) for 4/3 at 16ch x 479k (ops/pallas_upfirdn.py);
+        # backward via the frames-matmul XLA path
         from vv_dsp_tpu.ops import pallas_upfirdn as _pu
+        from vv_dsp_tpu.utils.kernel_grad import kernel_with_xla_vjp
         h = _resample._resample_poly_filter(up_r, down_r)
         off = (len(h) - 1) // 2
         if _pu.banded_supported(up_r, down_r, len(h), off):
             n_out = -(-x.shape[-1] * up_r // down_r)
-            return _pu.upfirdn_banded_pallas(x, h, up_r, down_r, off, n_out)
+            return kernel_with_xla_vjp(
+                lambda xv: _pu.upfirdn_banded_pallas(xv, h, up_r, down_r,
+                                                     off, n_out),
+                lambda xv: _resample.resample_poly_mxu(xv, up_r, down_r),
+            )(x)
     return _resample.resample_poly_mxu(x, up_r, down_r)

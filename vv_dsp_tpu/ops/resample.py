@@ -428,11 +428,17 @@ def fir_resample_fused(h_fir, x, up: int, down: int,
     gf, offset = _fused_fir_resample_filter(tuple(h_np), up, down)
     taps_pp = -(-len(gf) // up)
     from vv_dsp_tpu.ops import pallas_upfirdn as _pu
+    from vv_dsp_tpu.utils.kernel_grad import kernel_with_xla_vjp
     if (jax.default_backend() == "tpu" and x.ndim == 2
             and _pu.banded_supported(up, down, len(gf), offset)):
         # banded-matmul Pallas kernel: 3.8 vs 7.1 ms at flagship geometry
-        # (see ops/pallas_upfirdn.py)
-        y = _pu.upfirdn_banded_pallas(x, gf, up, down, offset, n_out)
+        # (see ops/pallas_upfirdn.py); backward via the tall einsum path
+        grp = max(1, int(round(taps_pp / down)))
+        y = kernel_with_xla_vjp(
+            lambda xv: _pu.upfirdn_banded_pallas(xv, gf, up, down, offset,
+                                                 n_out),
+            lambda xv: _upfirdn_tall(gf, xv, up, down, offset, n_out, grp),
+        )(x)
     else:
         if group is None:
             # frame stride ~ taps_pp (group*down ~ taps_pp): measured best on
@@ -586,7 +592,7 @@ def resample_multistage(x, up: int, down: int, use_pallas: bool | None = None):
     for u, d in _factor_stages(up, down):
         if use_pallas:
             from vv_dsp_tpu.ops import pallas_kernels as _pk
-            x = _pk.resample_poly_pallas(x, u, d)
+            x = _pk.resample_poly_best(x, u, d)
         else:
             x = resample_poly(x, u, d)
     # cascade of ceils can overshoot by a sample or two

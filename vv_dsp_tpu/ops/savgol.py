@@ -111,9 +111,19 @@ def savgol_filter(x, window_length: int, polyorder: int, deriv: int = 0,
         g = np.asarray(savgol_coeffs_np(window_length, polyorder, deriv,
                                         delta))[::-1]
         if _pu.banded_supported(1, 1, window_length, window_length - 1):
+            from vv_dsp_tpu.utils.kernel_grad import kernel_with_xla_vjp
+            wj = w  # captured (window_length,) device kernel
+
+            def ref(xv):  # unrolled shift-add correlation, differentiable
+                acc = wj[0] * xv[:, :n_out]
+                for t in range(1, window_length):
+                    acc = acc + wj[t] * xv[:, t:t + n_out]
+                return acc
+
             xb2 = xp.reshape((-1, xp.shape[-1]))
-            y = _pu.upfirdn_banded_pallas(xb2, g, 1, 1, window_length - 1,
-                                          n_out)
+            y = kernel_with_xla_vjp(
+                lambda xv: _pu.upfirdn_banded_pallas(
+                    xv, g, 1, 1, window_length - 1, n_out), ref)(xb2)
             y = y.reshape(batch_shape + (n_out,)).astype(x.dtype)
             return apply_nan_policy(y, nan_policy)
     xb = xp.reshape((-1, 1, xp.shape[-1]))

@@ -87,12 +87,22 @@ class STFT:
             # extra transpose+gather passes over it (measured 3.0 vs 2.2 ms
             # at nfft=1024 x 30k frames; at 2048 the FLOP saving wins)
             from vv_dsp_tpu.ops import pallas_fft as _pf
+            from vv_dsp_tpu.utils.kernel_grad import kernel_with_xla_vjp
             import jax as _jax
             if (_pf.stft_mel_supported(self.nfft, self.hop)
                     and _jax.default_backend() == "tpu"):
-                return _pf.stft_spectrum_stockham(
-                    x, self.nfft, self.hop, self.window, self.window_param,
+                fast = lambda xv: _pf.stft_spectrum_stockham(
+                    xv, self.nfft, self.hop, self.window, self.window_param,
                     onesided=rfft)
+                return kernel_with_xla_vjp(
+                    fast, lambda xv: self._process_xla(xv, rfft))(x)
+        return self._process_xla(x, rfft)
+
+    def _process_xla(self, x, rfft: bool):
+        """Framed matmul/FFT forward path (also the autodiff reference for
+        the Stockham route)."""
+        n = x.shape[-1]
+        nf = self.num_frames(n)
         if self.nfft % self.hop == 0:
             # strided-reshape framing: ~11x cheaper than the gather on TPU
             frames = framing.frames_strided(x, self.nfft, self.hop, nf)
@@ -115,13 +125,18 @@ class STFT:
         nf = self.num_frames(n)
         if x.ndim == 2 and not jnp.iscomplexobj(x):
             from vv_dsp_tpu.ops import pallas_fft as _pf
+            from vv_dsp_tpu.utils.kernel_grad import kernel_with_xla_vjp
             import jax as _jax
             if (_pf.stft_mel_supported(self.nfft, self.hop)
                     and _jax.default_backend() == "tpu"):
                 # Stockham kernel + one unpermuting gather: ~2x the dense
-                # windowed-basis matmuls at nfft=2048 (ops/pallas_fft.py)
-                return _pf.stft_power_stockham(x, self.nfft, self.hop,
-                                               self.window, self.window_param)
+                # windowed-basis matmuls at nfft=2048 (ops/pallas_fft.py);
+                # backward runs the XLA parts path (utils/kernel_grad.py)
+                fast = lambda xv: _pf.stft_power_stockham(
+                    xv, self.nfft, self.hop, self.window, self.window_param)
+                return kernel_with_xla_vjp(
+                    fast, lambda xv: self._power_direct(
+                        xv, self.num_frames(xv.shape[-1])))(x)
         if self.supports_direct() and not jnp.iscomplexobj(x):
             return self._power_direct(x, nf)
         if self.nfft % self.hop == 0:
@@ -199,13 +214,21 @@ class STFT:
             # wins (the kernel pays permute/transpose passes over the
             # spectrum, which dominates when the transform math is cheap)
             from vv_dsp_tpu.ops import pallas_fft as _pf
+            from vv_dsp_tpu.utils.kernel_grad import kernel_with_xla_vjp
             import jax as _jax
             if (_pf.stft_mel_supported(self.nfft, self.hop)
                     and _jax.default_backend() == "tpu"):
                 # inverse Stockham kernel + in-kernel OLA strips
-                return _pf.istft_stockham(spec, self.nfft, self.hop,
-                                          output_len, self.window,
-                                          self.window_param, rfft=rfft)
+                fast = lambda sp: _pf.istft_stockham(
+                    sp, self.nfft, self.hop, output_len, self.window,
+                    self.window_param, rfft=rfft)
+
+                def ref(sp):  # XLA path for the backward pass
+                    t = (_fft.irfft(sp, self.nfft) if rfft
+                         else _fft.ifft(sp).real)
+                    return self._ola_norm(t, output_len)
+
+                return kernel_with_xla_vjp(fast, ref)(spec)
         if rfft:
             time = _fft.irfft(spec, self.nfft)
         else:
