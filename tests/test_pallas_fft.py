@@ -255,3 +255,24 @@ def test_supported_gate_rejects_extreme_hop():
     finding): the gate must refuse so dispatch falls back to XLA."""
     assert not pf.stft_mel_supported(2048, 8)      # q = 256
     assert pf.stft_mel_supported(2048, 16)         # q = 128 is the cap
+
+
+def test_kernel_vjp_machinery(rng):
+    """kernel_with_xla_vjp: forward = interpret-mode kernel, backward =
+    the XLA path's VJP — gradients must match the pure-XLA gradient
+    exactly (the bwd IS that path) and the forward must stay the kernel's."""
+    import jax
+    from vv_dsp_tpu.utils.kernel_grad import kernel_with_xla_vjp
+
+    nfft, hop, n_mels, sr = 256, 64, 20, 16000.0
+    x = jnp.asarray(rng.standard_normal((1, 2000)).astype(np.float32))
+    fast = lambda v: pf.stft_mel_energies_pallas(v, nfft, hop, n_mels, sr,
+                                                 interpret=True)
+    ref = lambda v: _mel_ref_xla(v, nfft, hop, n_mels, sr)
+    f = kernel_with_xla_vjp(fast, ref)
+    got_fwd = np.asarray(f(x))
+    np.testing.assert_allclose(got_fwd, np.asarray(fast(x)), rtol=0, atol=0)
+    g = jax.grad(lambda v: jnp.sum(f(v)))(x)
+    g_ref = jax.grad(lambda v: jnp.sum(ref(v)))(x)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                               rtol=0, atol=0)
