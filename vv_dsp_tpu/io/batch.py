@@ -138,16 +138,33 @@ def prefetch_batches(path_batches, capacity_frames: int | None = None,
         return
     q: queue.Queue = queue.Queue(maxsize=max(1, depth))
     _STOP = object()
+    cancel = threading.Event()
+
+    def _put(item) -> bool:
+        # bounded put that notices consumer cancellation: a plain q.put()
+        # blocks forever when the consumer breaks out of the loop early,
+        # pinning the thread plus depth+1 decoded batches for the process
+        # lifetime
+        while not cancel.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def producer():
         try:
             for b in batches:
-                q.put(read_wav_batch(b, capacity_frames, channels,
-                                     n_threads))
+                if cancel.is_set():
+                    return
+                if not _put(read_wav_batch(b, capacity_frames, channels,
+                                           n_threads)):
+                    return
         except BaseException as e:  # surface in the consumer, not the thread
-            q.put(e)
+            _put(e)
             return
-        q.put(_STOP)
+        _put(_STOP)
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
@@ -160,4 +177,11 @@ def prefetch_batches(path_batches, capacity_frames: int | None = None,
                 raise item
             yield item
     finally:
-        t.join(timeout=0.1)
+        cancel.set()
+        # drain so a blocked put wakes immediately, then reap the thread
+        try:
+            while True:
+                q.get_nowait()
+        except queue.Empty:
+            pass
+        t.join(timeout=5.0)

@@ -25,12 +25,11 @@ from vv_dsp_tpu import parallel as _par
 
 
 def _promote_audio(x):
-    """Accept sub-f32 float input (bf16/f16 serving buffers) but compute in
-    f32 — 8-bit mantissas are below every parity contract; the matmul
-    precision knob is the sanctioned accuracy/speed trade."""
-    if jnp.issubdtype(x.dtype, jnp.floating) and jnp.finfo(x.dtype).bits < 32:
-        return x.astype(jnp.float32)
-    return x
+    """Model entry promotion = the library-wide policy (config.as_compute):
+    integer PCM and sub-f32 floats compute in f32; the matmul precision
+    knob is the sanctioned accuracy/speed trade."""
+    from vv_dsp_tpu import config
+    return config.as_compute(x)
 
 @dataclasses.dataclass(frozen=True)
 class NorthStarChain:

@@ -33,6 +33,8 @@ import numpy as np
 import jax.numpy as jnp
 from jax import lax
 
+from vv_dsp_tpu import config
+
 
 # ---------------------------------------------------------------------------
 # apply
@@ -61,8 +63,13 @@ def _biquad_cumulative(x, b0, b1, b2, a1, a2):
     def combine(f, g):
         fa, fb = f
         ga, gb = g
-        a = jnp.einsum("...ij,...jk->...ik", ga, fa)
-        b = jnp.einsum("...ij,...j->...i", ga, fb) + gb
+        # the precision knob matters here: at DEFAULT these run bf16 on
+        # TPU and the scan path missed its documented scipy parity
+        # (measured 0.023 on filtfilt_sos vs 2.8e-7 at full precision)
+        a = jnp.einsum("...ij,...jk->...ik", ga, fa,
+                       precision=config.MATMUL_PRECISION)
+        b = jnp.einsum("...ij,...j->...i", ga, fb,
+                       precision=config.MATMUL_PRECISION) + gb
         return a, b
 
     return lax.associative_scan(combine, (As, bs), axis=-3)
@@ -80,7 +87,8 @@ def _biquad_output(x, b0, s_init, A_cum, b_cum):
     else:
         # s_init: (..., 2) per batch entry — add the time axis for broadcast.
         s_after = b_cum + jnp.einsum("...tij,...tj->...ti", A_cum,
-                                     s_init[..., None, :])
+                                     s_init[..., None, :],
+                                     precision=config.MATMUL_PRECISION)
         first = jnp.broadcast_to(s_init[..., 0:1], s_after[..., :1, 0].shape)
         prev_z1 = jnp.concatenate([first, s_after[..., :-1, 0]], axis=-1)
     y = b0 * x + prev_z1
@@ -195,8 +203,7 @@ def _iir_apply_block(sos_n, x, zi):
     associative scan on long signals (measured 182 -> ~4 ms for a butter-4
     on 16ch x 479k; the per-sample scan drags 19 combine sweeps of
     (n, 2, 2) matrices through HBM)."""
-    from vv_dsp_tpu import config
-
+    
     b_len = _BLOCK_B
     wcat64, r64, ab64, _ = _cascade_block_constants(
         tuple(map(tuple, sos_n)), b_len)
@@ -223,8 +230,10 @@ def _iir_apply_block(sos_n, x, zi):
     def combine(f, g):
         fa, fb = f
         ga, gb = g
-        return (jnp.einsum("...ij,...jk->...ik", ga, fa),
-                jnp.einsum("...ij,...j->...i", ga, fb) + gb)
+        return (jnp.einsum("...ij,...jk->...ik", ga, fa,
+                           precision=config.MATMUL_PRECISION),
+                jnp.einsum("...ij,...j->...i", ga, fb,
+                           precision=config.MATMUL_PRECISION) + gb)
 
     a_cum, b_cum = lax.associative_scan(combine, (a_bc, c), axis=len(lead))
     # s_after[m] = state after block m (entry state of block m+1)
@@ -239,7 +248,8 @@ def _iir_apply_block(sos_n, x, zi):
         zi_b = jnp.broadcast_to(jnp.asarray(zi, dtype=dt),
                                 lead + (n_sec, 2))
         s0 = zi_b.reshape(lead + (S,))
-        s_after = b_cum + jnp.einsum("...nij,...j->...ni", a_cum, s0)
+        s_after = b_cum + jnp.einsum("...nij,...j->...ni", a_cum, s0,
+                                      precision=config.MATMUL_PRECISION)
         s_entry = jnp.concatenate(
             [jnp.broadcast_to(s0[..., None, :], lead + (1, S)),
              s_after[..., :-1, :]], axis=-2)
@@ -263,7 +273,8 @@ def _iir_apply_block(sos_n, x, zi):
         x_tail = x[..., m_last * b_len:]
         c_t = jnp.einsum("...j,sj->...s", x_tail, f_t,
                          precision=config.MATMUL_PRECISION)
-        s_last = jnp.einsum("ij,...j->...i", ab_tj, s_in_tail) + c_t
+        s_last = jnp.einsum("ij,...j->...i", ab_tj, s_in_tail,
+                            precision=config.MATMUL_PRECISION) + c_t
     return y, s_last
 
 

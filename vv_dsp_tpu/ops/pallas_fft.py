@@ -52,22 +52,8 @@ _LSTOP = 64  # butterfly/matmul split point (see module docstring)
 _TK = 128    # frames per grid step (lane width)
 
 
-def _tile_lanes(nfft: int) -> int:
-    """Frames per grid step. 4096+ would need 64-lane tiles for VMEM, but
-    DMA lane offsets must stay 128-aligned, so larger transforms keep the
-    XLA four-step matmul tier instead (953 Msps at 4096 — acceptable)."""
-    return _TK
-
-
-from vv_dsp_tpu.ops.pallas_kernels import _kernel_precision
-
-
-def _on_tpu() -> bool:
-    return jax.default_backend() == "tpu"
-
-
-def _round_up(x: int, m: int) -> int:
-    return -(-x // m) * m
+from vv_dsp_tpu.ops.pallas_kernels import (_kernel_precision, _on_tpu,
+                                            _round_up)
 
 
 def _bitrev_perm(nb: int) -> np.ndarray:
@@ -245,7 +231,7 @@ def stft_power_stockham(x, nfft: int, hop: int, window: str = "hann",
         x = x.astype(jnp.float32)
     c, n = x.shape
     q = nfft // hop
-    tk = _tile_lanes(nfft)
+    tk = _TK
     lstop = min(_LSTOP, nfft)
     n_stages = (nfft // lstop).bit_length() - 1
     nf = 1 if n < nfft else 1 + (n - nfft + hop) // hop
@@ -342,7 +328,7 @@ def stft_spectrum_stockham(x, nfft: int, hop: int, window: str = "hann",
         x = x.astype(jnp.float32)
     c, n = x.shape
     q = nfft // hop
-    tk = _tile_lanes(nfft)
+    tk = _TK
     lstop = min(_LSTOP, nfft)
     n_stages = (nfft // lstop).bit_length() - 1
     nf = 1 if n < nfft else 1 + (n - nfft + hop) // hop
@@ -564,12 +550,12 @@ def stft_gate_pallas(x, nfft: int, hop: int, threshold: float,
         x = x.astype(jnp.float32)
     c, n = x.shape
     q = nfft // hop
-    tk = _tile_lanes(nfft)
+    tk = _TK
     lstop = min(_LSTOP, nfft)
     n_stages = (nfft // lstop).bit_length() - 1
     nf = 1 if n < nfft else 1 + (n - nfft + hop) // hop
     nf_p = _round_up(nf, tk)
-    lanes_p = _round_up(tk + 2 * (q - 1), 128)
+    lanes_p = _round_up(tk + q - 1, 128)
     nb = nf_p - tk + lanes_p
     xp = jnp.pad(x, ((0, 0), (0, nb * hop - n)))
     xt = jnp.swapaxes(xp.reshape(c, nb, hop), -1, -2)  # (c, hop, nb)
@@ -704,7 +690,7 @@ def istft_stockham(spec, nfft: int, hop: int, output_len: int,
         raise ValueError("expected (channels, frames, bins)")
     c, nf, bins = spec.shape
     q = nfft // hop
-    tk = _tile_lanes(nfft)
+    tk = _TK
     lstop = min(_LSTOP, nfft)
     n_stages = (nfft // lstop).bit_length() - 1
 
@@ -809,7 +795,7 @@ def _stft_mel_call(x, nfft, hop, n_mels, sample_rate, window, window_param,
 
     c, n = x.shape
     q = nfft // hop
-    tk = _tile_lanes(nfft)
+    tk = _TK
     lstop = min(_LSTOP, nfft)
     n_stages = (nfft // lstop).bit_length() - 1
     nf = 1 if n < nfft else 1 + (n - nfft + hop) // hop

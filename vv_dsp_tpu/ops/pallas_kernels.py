@@ -321,11 +321,11 @@ def _stft_power_kernel(x_hbm, bre_ref, bim_ref, y_ref, x_vmem, sem, *,
         acc_re = acc_re + jnp.dot(
             seg, bre_ref[r * hop: (r + 1) * hop, :],
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)
+            precision=_kernel_precision())
         acc_im = acc_im + jnp.dot(
             seg, bim_ref[r * hop: (r + 1) * hop, :],
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)
+            precision=_kernel_precision())
     y_ref[0, :, :] = acc_re * acc_re + acc_im * acc_im
 
 

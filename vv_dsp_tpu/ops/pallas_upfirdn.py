@@ -42,15 +42,8 @@ _EXT_ROWS_CAP = 4096            # ext scratch rows (k_w) cap
 _B_IN_CAP = 2048                # DMA window rows cap
 
 
-from vv_dsp_tpu.ops.pallas_kernels import _kernel_precision
-
-
-def _on_tpu() -> bool:
-    return jax.default_backend() == "tpu"
-
-
-def _round_up(x: int, m: int) -> int:
-    return -(-x // m) * m
+from vv_dsp_tpu.ops.pallas_kernels import (_kernel_precision, _on_tpu,
+                                            _round_up)
 
 
 def _geometry(up: int, down: int, len_g: int, offset: int, b_out: int):

@@ -512,7 +512,7 @@ def _staged_tail_matrix(h_key, up: int, down: int, offset: int, n_in: int,
     if jw0 < 0:  # clip columns for x indices < 0 (zero samples)
         w = w[:, -jw0:]
         jw0 = 0
-    return np.ascontiguousarray(w).astype(np.float32), jw0
+    return np.ascontiguousarray(w), jw0  # float64; cast at use
 
 
 # ---------------------------------------------------------------------------
