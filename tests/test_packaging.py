@@ -67,3 +67,15 @@ print("INSTALLED_OK", vv_dsp_tpu.__name__)
                        text=True, timeout=300, cwd=str(tmp_path), env=env)
     assert r.returncode == 0, r.stderr[-2000:]
     assert "INSTALLED_OK" in r.stdout
+
+
+def test_version_consistent_everywhere():
+    """pyproject, __version__ and the CHANGELOG top entry must agree —
+    the gate scripts/make_release.py enforces at release time."""
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    try:
+        import make_release
+        versions = make_release.read_versions()
+    finally:
+        sys.path.pop(0)
+    assert len(set(versions.values())) == 1 and None not in versions.values(), versions
