@@ -70,14 +70,45 @@ def main():
               f"{msps:8.1f} Msps  (~{rows[-1]['realtime_streams_48k']}x "
               f"48k realtime per channel)", flush=True)
 
+    # Chunked streaming: K blocks per dispatch (process_blocks = lax.scan
+    # over the same step). Identical block semantics/state boundaries; the
+    # per-call dispatch floor is paid once per CHUNK, not once per block.
+    chunk_rows = []
+    for block_in, k in ((1536, 16), (1536, 64), (6144, 16), (6144, 64)):
+        x = jnp.asarray(rng.standard_normal((channels, k * block_in)),
+                        dtype=jnp.float32)
+        fn = jax.jit(lambda s, sig: chain.process_blocks(s, sig, block_in))
+        state = chain.init((channels,))
+        feats, state = fn(state, x)
+        float(jnp.sum(feats))
+        iters = max(1, args.blocks // k)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            feats, state = fn(state, x)
+        float(jnp.sum(feats))
+        dt = (time.perf_counter() - t0) / iters
+        msps = channels * k * block_in / dt / 1e6
+        chunk_rows.append({
+            "name": f"streaming_north_star_chunked_b{block_in}_k{k}",
+            "block_in": block_in,
+            "blocks_per_dispatch": k,
+            "per_block_ms": round(dt * 1e3 / k, 3),
+            "msamples_per_sec": round(msps, 1),
+            "realtime_streams_48k": int(msps * 1e6 / 48000 / channels),
+        })
+        print(f"chunked block={block_in:6d} k={k:3d}: "
+              f"{dt*1e3/k:7.3f} ms/block  {msps:8.1f} Msps", flush=True)
+
     out = {
         "device": str(jax.devices()[0]),
         "channels": channels,
         "note": "per-call tunnel dispatch latency included — the "
                 "deployment shape for block streaming on this transport; "
-                "reference scalar baseline: 0.80-0.82 Msps "
-                "(resample_profile.json:59-83)",
+                "chunked rows amortize it over K blocks per dispatch "
+                "(process_blocks); reference scalar baseline: 0.80-0.82 "
+                "Msps (resample_profile.json:59-83)",
         "rows": rows,
+        "chunked_rows": chunk_rows,
     }
     with open(args.out, "w") as f:
         json.dump(out, f, indent=1)

@@ -246,3 +246,33 @@ def test_models_accept_bf16_input(rng):
         assert np.abs(ob - of).max() / np.abs(of).max() < tol
     g = np.asarray(SpectralGate()(xb), np.float32)
     assert g.dtype == np.float32 and np.isfinite(g).all()
+
+
+def test_streaming_chain_process_blocks_matches_loop(rng):
+    """Chunked streaming (process_blocks: K blocks per dispatch) is exactly
+    the per-block loop — features and carried state — and jits."""
+    from vv_dsp_tpu.models import StreamingNorthStar
+
+    chain = StreamingNorthStar(fir_taps=64, up=4, down=3, nfft=256, hop=64,
+                               n_mels=32, n_mfcc=13)
+    block = 3 * 64 * 4
+    k = 6
+    x = jnp.asarray(rng.standard_normal((2, k * block)), dtype=jnp.float32)
+
+    state0 = chain.init(x.shape[:-1])
+    state = state0
+    feats = []
+    for i in range(k):
+        f, state = chain.process(state, x[..., i * block:(i + 1) * block])
+        feats.append(f)
+    want = jnp.concatenate(feats, axis=-2)
+
+    fn = jax.jit(lambda s, sig: chain.process_blocks(s, sig, block))
+    got, end_state = fn(state0, x)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(end_state),
+                    jax.tree_util.tree_leaves(state)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)

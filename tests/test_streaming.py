@@ -131,3 +131,52 @@ def test_stft_stream_nonoverlapping(sig):
                                np.asarray(want[..., :nf, :]), rtol=1e-4,
                                atol=1e-4)
     np.testing.assert_allclose(np.asarray(want[..., nf:, :]), 0.0, atol=1e-6)
+
+
+def test_scan_stream_fir_matches_loop(sig):
+    """scan_stream (K blocks in one dispatch) == the eager per-block loop,
+    outputs and final state both, for a sample stream (out_axis=-1)."""
+    h = fir.design_lowpass(101, 0.3)
+    block = 512
+    step = lambda s, blk: streaming.fir_stream_process(h, s, blk)
+
+    state0 = streaming.fir_stream_init(h, sig.shape[:-1])
+    state = state0
+    outs = []
+    for blk in _blocks(sig, block):
+        y, state = step(state, blk)
+        outs.append(y)
+    want = jnp.concatenate(outs, axis=-1)
+
+    got, end_state = streaming.scan_stream(step, state0, sig, block)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(end_state), np.asarray(state),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_scan_stream_frame_axis(sig):
+    """out_axis=-2 folds per-block frame batches in order (STFT analysis)."""
+    st = streaming.StftStream(256, 64)
+    block = 4 * 64
+    step = lambda s, blk: st.analysis(s, blk)
+    state0 = st.analysis_init(sig.shape[:-1])
+    state = state0
+    outs = []
+    for blk in _blocks(sig, block):
+        spec, state = step(state, blk)
+        outs.append(spec)
+    want = jnp.concatenate(outs, axis=-2)
+    got, end_state = streaming.scan_stream(step, state0, sig, block,
+                                           out_axis=-2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(end_state), np.asarray(state),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_scan_stream_validates_geometry(sig):
+    with pytest.raises(ValueError):
+        streaming.scan_stream(
+            lambda s, b: (b, s), jnp.zeros(sig.shape[:-1] + (4,)),
+            sig, 1000)  # 4096 % 1000 != 0

@@ -86,6 +86,19 @@ class StreamingNorthStar:
         new_state = {"fir": fir_s, "resample": rs_s, "stft": stft_s}
         return feats, new_state
 
+    def process_blocks(self, state, signal, block_in: int):
+        """Chunked streaming: K = signal_len/block_in blocks in ONE device
+        dispatch. ((..., K*block_in) signal) -> ((..., K*frames, n_mfcc),
+        state). Exactly equal to K sequential `process` calls (lax.scan over
+        the same step), but the host dispatch / transfer cost is paid once
+        per chunk instead of once per block — the serving shape for
+        latency-tolerant batch streaming. State checkpoints remain valid at
+        every chunk boundary."""
+        self.validate_block(block_in)
+        return streaming.scan_stream(
+            lambda s, blk: self.process(s, blk), state, signal, block_in,
+            out_axis=-2)
+
     def _mfcc(self, frames):
         power = rfft_power(frames)
         return _mel.mfcc(power, self.nfft, self.n_mels, self.n_mfcc,

@@ -26,6 +26,7 @@ import functools
 import math
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from vv_dsp_tpu import config
@@ -34,6 +35,52 @@ from vv_dsp_tpu.ops import fir as _fir
 from vv_dsp_tpu.ops import iir as _iir
 from vv_dsp_tpu.ops import resample as _resample
 from vv_dsp_tpu.ops.window import get_window
+
+
+# ---------------------------------------------------------------------------
+# chunked streaming: many blocks per device dispatch
+# ---------------------------------------------------------------------------
+
+def scan_stream(step, state, signal, block_len, out_axis=-1):
+    """Run a streaming `step` over K consecutive blocks in ONE dispatch.
+
+    `step` is any (state, (..., block_len)) -> (out, new_state) pure stream
+    step from this module (or a composition like StreamingNorthStar.process).
+    `signal` is (..., K*block_len); the K blocks run under `lax.scan`, so the
+    whole sweep compiles to a single device program — the serving-side answer
+    to per-call dispatch latency (the reference advances its stateful structs
+    one host call per block, src/filter/fir.c:160-196; here one host call
+    covers K blocks). Semantics are EXACTLY K sequential `step` calls.
+
+    `out_axis` is the axis of each per-block output along which consecutive
+    blocks concatenate: -1 for sample streams (FIR/IIR/resample/ISTFT),
+    -2 for frame streams ((..., frames, bins/coeffs) from STFT analysis or
+    the MFCC chain). Returns (merged_outputs, final_state).
+    """
+    total = signal.shape[-1]
+    if block_len <= 0 or total % block_len:
+        raise ValueError(
+            f"signal length {total} must be a positive multiple of "
+            f"block_len {block_len}")
+    k = total // block_len
+    blocks = jnp.moveaxis(
+        signal.reshape(signal.shape[:-1] + (k, block_len)), -2, 0)
+
+    def body(s, blk):
+        out, s2 = step(s, blk)
+        return s2, out
+
+    state, outs = jax.lax.scan(body, state, blocks)
+    # outs: (k, ...out_shape...) — fold the block axis into out_axis.
+    a = out_axis if out_axis < 0 else out_axis - (outs.ndim - 1)
+    if not (-(outs.ndim - 1) <= a <= -1):
+        raise ValueError(f"out_axis {out_axis} out of range for per-block "
+                         f"output of rank {outs.ndim - 1}")
+    outs = jnp.moveaxis(outs, 0, a - 1)
+    pos = outs.ndim + (a - 1)
+    shape = outs.shape
+    merged = shape[:pos] + (shape[pos] * shape[pos + 1],) + shape[pos + 2:]
+    return outs.reshape(merged), state
 
 
 # ---------------------------------------------------------------------------
