@@ -52,6 +52,15 @@ class NorthStarChain:
     #: fuse FIR+resample into ONE banded-matrix MXU pass (sample-exact vs
     #: the staged pair; erases the intermediate HBM round trip)
     fused_head: bool = True
+    #: dot algorithm for the fused head's banded matmul.  "bf16x3"
+    #: (error-compensated 3-pass bf16 — lax.Precision.HIGH semantics) is
+    #: the default: measured max rel err 7.7e-6 vs a float64 oracle at the
+    #: flagship geometry, 6x inside the chain's 5e-5 parity contract
+    #: (BASELINE.md:49) and 400x inside the filter contract (3e-3), for
+    #: ~1.9x the head matmul throughput.  Set "f32" for full 6-pass f32
+    #: accumulation (2.3e-6), or None to follow the global
+    #: config.set_matmul_precision knob.
+    head_algorithm: str | None = "bf16x3"
 
     @functools.cached_property
     def fir_coeffs(self):
@@ -73,7 +82,8 @@ class NorthStarChain:
         x = _promote_audio(x)
         if self.fused_head:
             from vv_dsp_tpu.ops.resample import fir_resample_fused
-            y = fir_resample_fused(self.fir_coeffs, x, self.up, self.down)
+            y = fir_resample_fused(self.fir_coeffs, x, self.up, self.down,
+                                   algorithm=self.head_algorithm)
         else:
             y = _pk.fir_apply_best(self.fir_coeffs, x)
             y = _pk.resample_poly_best(y, self.up, self.down)

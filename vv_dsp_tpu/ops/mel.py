@@ -194,7 +194,8 @@ def mel_energies_stft(x, nfft: int, hop: int, n_mels: int,
 
     plan = STFT(nfft, hop, window, window_param)
     if (x.ndim == 2 and not jnp.iscomplexobj(x)
-            and _pf.stft_mel_supported(nfft, hop)
+            and (_pf.stft_mel_supported(nfft, hop)
+                 or _pf.stft_mel_packed_supported(nfft, hop))
             and jax.default_backend() == "tpu"):
         fast = lambda xv: _pf.stft_mel_energies_pallas(
             xv, nfft, hop, n_mels, sample_rate, window, window_param,
@@ -234,7 +235,8 @@ def mfcc_stft(x, nfft: int, hop: int, n_mels: int, n_coeffs: int,
     from vv_dsp_tpu.utils.kernel_grad import kernel_with_xla_vjp
 
     if (x.ndim == 2 and not jnp.iscomplexobj(x)
-            and _pf.stft_mel_supported(nfft, hop)
+            and (_pf.stft_mel_supported(nfft, hop)
+                 or _pf.stft_mel_packed_supported(nfft, hop))
             and jax.default_backend() == "tpu"):
         fast = lambda xv: _pf.stft_mfcc_pallas(
             xv, nfft, hop, n_mels, n_coeffs, sample_rate, window,

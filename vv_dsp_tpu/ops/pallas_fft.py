@@ -120,6 +120,316 @@ def _folded_mel_matrix(nfft: int, n_mels: int, sample_rate: float,
     return out
 
 
+# ---------------------------------------------------------------------------
+# packed-real front half: the nfft-point REAL FFT computed as an m = nfft/2
+# complex FFT of Z = x_even + j*x_odd.  Halves the butterfly passes, cuts the
+# DFT-lstop tail from 2*(m/lstop... wait, from nfft/lstop to ~1.1*m/lstop
+# matmuls, and halves the mel projection — the Hermitian unpack
+# X[k] = E[k] + w_k O[k] (E = (Z[k]+conj(Z[m-k]))/2, O = (Z[k]-conj(Z[m-k]))/2j)
+# never materializes X: the kernels only need |X|^2, and the PAIRED row
+# algebra gives both |X[k]|^2 = |E + wO|^2 and |X[m-k]|^2 = |E - wO|^2 from
+# one aligned (Z[k], Z[m-k]) pair.  Row alignment of the pair costs nothing:
+# the partner rows come out of the SAME DFT-lstop tail with a row-permuted
+# tail matrix (host-side), so pairing is elementwise on the VPU.
+# ---------------------------------------------------------------------------
+
+def _brev_val(x: int, bits: int) -> int:
+    out = 0
+    for _ in range(bits):
+        out = (out << 1) | (x & 1)
+        x >>= 1
+    return out
+
+
+@functools.lru_cache(maxsize=16)
+def _packed_pair_plan(m: int, lstop: int):
+    """Block pairing of the m-point FFT tail for the Hermitian unpack.
+
+    Returns (selfs, crosses, row_bin):
+      selfs   = [(block, kind)] with kind 0 for the r=0 block (partner row
+                sigma(j) = (L-j) % L) and 1 for the r=nb/2 block
+                (sigma(j) = L-1-j),
+      crosses = [(b1, b2)] block pairs with partner rows L-1-j of b2,
+      row_bin = int array (m,): the X-bin whose power each STORAGE row holds
+                (p1 of compute blocks in natural rows; p2 of a cross pair
+                stored at the partner block's rows).
+    """
+    nb = m // lstop
+    bits = nb.bit_length() - 1
+    brev = [_brev_val(b, bits) for b in range(nb)]
+    inv = {r: b for b, r in enumerate(brev)}
+    selfs, crosses = [], []
+    row_bin = np.zeros(m, dtype=np.int64)
+    seen = set()
+    for b1 in range(nb):
+        if b1 in seen:
+            continue
+        r1 = brev[b1]
+        k1 = np.arange(lstop) * nb + r1          # bins of b1's natural rows
+        if r1 == 0 or (nb > 1 and r1 == nb // 2):
+            selfs.append((b1, 0 if r1 == 0 else 1))
+            row_bin[b1 * lstop:(b1 + 1) * lstop] = k1
+            seen.add(b1)
+        else:
+            b2 = inv[(nb - r1) % nb]
+            crosses.append((b1, b2))
+            row_bin[b1 * lstop:(b1 + 1) * lstop] = k1
+            row_bin[b2 * lstop:(b2 + 1) * lstop] = m - k1
+            seen.add(b1)
+            seen.add(b2)
+    return selfs, crosses, row_bin
+
+
+@functools.lru_cache(maxsize=4)
+def _packed_tail_mats(lstop: int):
+    """(dp, dp_rev, dp_rev0): the packed DFT-lstop matrix and its
+    output-row-permuted variants sigma(j) = L-1-j / (L-j) % L, used to
+    produce the Hermitian-partner rows aligned with the natural rows."""
+    dp = _packed_dft(lstop)
+    sig_rev = np.arange(lstop)[::-1]                       # L-1-j
+    sig_rev0 = (lstop - np.arange(lstop)) % lstop          # (L-j) % L
+    def permuted(sig):
+        return np.concatenate([dp[:lstop][sig], dp[lstop:][sig]],
+                              axis=0).astype(np.float32)
+    return dp, permuted(sig_rev), permuted(sig_rev0)
+
+
+@functools.lru_cache(maxsize=16)
+def _packed_wk(nfft: int, lstop: int):
+    """(m, 1) cos/sin of w_k = exp(-2*pi*i*bin(row)/nfft) aligned to the
+    NATURAL tail row order of the m = nfft/2 FFT."""
+    m = nfft // 2
+    nb = m // lstop
+    bits = nb.bit_length() - 1
+    brev = np.array([_brev_val(b, bits) for b in range(nb)])
+    rows = np.arange(m)
+    k = (rows % lstop) * nb + brev[rows // lstop]
+    ang = -2.0 * np.pi * k / nfft
+    return (np.cos(ang).reshape(m, 1).astype(np.float32),
+            np.sin(ang).reshape(m, 1).astype(np.float32))
+
+
+@functools.lru_cache(maxsize=16)
+def _mel_matrix_packed(nfft: int, n_mels: int, sample_rate: float,
+                       fmin: float, fmax: float, variant: str, lstop: int):
+    """(mels_p, m) mel weights in the packed STORAGE row order plus the
+    (mels_p, 1) Nyquist-bin column.  Each one-sided bin 0..m-1 appears in
+    storage exactly once, so the weights are the plain filterbank columns —
+    no Hermitian fold needed (bin m rides the separate column)."""
+    from vv_dsp_tpu.ops import mel as _mel
+
+    m = nfft // 2
+    fb = _mel.mel_filterbank_np(nfft, n_mels, sample_rate, fmin, fmax,
+                                variant).astype(np.float32)   # (n_mels, m+1)
+    _, _, row_bin = _packed_pair_plan(m, lstop)
+    mels_p = _round_up(n_mels, 128)
+    out = np.zeros((mels_p, m), np.float32)
+    out[:n_mels] = fb[:, row_bin]
+    nyq = np.zeros((mels_p, 1), np.float32)
+    nyq[:n_mels, 0] = fb[:, m]
+    return out, nyq
+
+
+def stft_mel_packed_supported(nfft: int, hop: int) -> bool:
+    """Geometry the packed-real fused kernel handles: pow2 nfft in
+    [256, 4096] (the m = nfft/2 tiles bound VMEM exactly like the plain
+    kernel's nfft <= 2048 bound), hop | nfft, hop % 16 == 0 (the half-rate
+    hop must stay sublane-aligned), and q = nfft/hop <= 128."""
+    return (256 <= nfft <= 4096 and nfft & (nfft - 1) == 0
+            and hop > 0 and nfft % hop == 0 and hop % 16 == 0
+            and nfft // hop <= 128)
+
+
+def _packed_tail_power(sre_ref, sim_ref, dp_ref, dpr_ref, dpr0_ref, wkr_ref,
+                       wki_ref, *, m, tk, lstop, selfs, crosses):
+    """DFT-lstop tail + Hermitian-unpack powers, in place: on return
+    sre_ref rows hold |X[bin(row)]|^2 in the packed STORAGE order and the
+    returned (1, tk) row is the Nyquist-bin power."""
+    dpv = dp_ref[:]
+    dprv = dpr_ref[:]
+    dpr0v = dpr0_ref[:]
+    nyq_row = None
+
+    def unpack(lo1, nr, ni, rr, ri):
+        er = 0.5 * (nr + rr)
+        ei = 0.5 * (ni - ri)
+        o_r = 0.5 * (ni + ri)
+        o_i = -0.5 * (nr - rr)
+        wr = wkr_ref[lo1:lo1 + lstop]
+        wi = wki_ref[lo1:lo1 + lstop]
+        wor = wr * o_r - wi * o_i
+        woi = wr * o_i + wi * o_r
+        p1 = (er + wor) * (er + wor) + (ei + woi) * (ei + woi)
+        p2 = (er - wor) * (er - wor) + (ei - woi) * (ei - woi)
+        return p1, p2
+
+    for b, kind in selfs:
+        lo = b * lstop
+        packed = jnp.concatenate(
+            [sre_ref[lo:lo + lstop, :], sim_ref[lo:lo + lstop, :]], axis=0)
+        nv = jnp.dot(dpv, packed, preferred_element_type=jnp.float32,
+                     precision=_kernel_precision())
+        rv = jnp.dot(dpr0v if kind == 0 else dprv, packed,
+                     preferred_element_type=jnp.float32,
+                     precision=_kernel_precision())
+        p1, p2 = unpack(lo, nv[:lstop], nv[lstop:], rv[:lstop], rv[lstop:])
+        sre_ref[lo:lo + lstop, :] = p1
+        if kind == 0:
+            nyq_row = p2[0:1, :]   # row j=0 of the r=0 block: bin m = Nyquist
+    for b1, b2 in crosses:
+        lo1 = b1 * lstop
+        lo2 = b2 * lstop
+        packed1 = jnp.concatenate(
+            [sre_ref[lo1:lo1 + lstop, :], sim_ref[lo1:lo1 + lstop, :]],
+            axis=0)
+        packed2 = jnp.concatenate(
+            [sre_ref[lo2:lo2 + lstop, :], sim_ref[lo2:lo2 + lstop, :]],
+            axis=0)
+        nv = jnp.dot(dpv, packed1, preferred_element_type=jnp.float32,
+                     precision=_kernel_precision())
+        rv = jnp.dot(dprv, packed2, preferred_element_type=jnp.float32,
+                     precision=_kernel_precision())
+        p1, p2 = unpack(lo1, nv[:lstop], nv[lstop:], rv[:lstop], rv[lstop:])
+        sre_ref[lo1:lo1 + lstop, :] = p1
+        sre_ref[lo2:lo2 + lstop, :] = p2
+    return nyq_row
+
+
+def _stft_mel_packed_kernel(xt_hbm, we_ref, wo_ref, twr_ref, twi_ref,
+                            dp_ref, dpr_ref, dpr0_ref, wkr_ref, wki_ref,
+                            mel_ref, nyq_ref, *rest, m, mhop, q, tk, lanes_p,
+                            n_stages, lstop, selfs, crosses, fuse_mfcc=False,
+                            log_eps=0.0):
+    if fuse_mfcc:
+        dct_ref, out_ref, xv, sre_ref, sim_ref, sem = rest
+    else:
+        out_ref, xv, sre_ref, sim_ref, sem = rest
+    c = pl.program_id(0)
+    fbk = pl.program_id(1)
+    # ONE DMA of the plain interleaved hop-block tile; the parity split is
+    # an in-VMEM sublane deinterleave (~free: +0.02 ms at flagship
+    # geometry, vs ~2.3 ms for any host-side XLA parity transpose)
+    dma = pltpu.make_async_copy(
+        xt_hbm.at[c, :, pl.ds(fbk * tk, lanes_p)], xv, sem)
+    dma.start()
+    dma.wait()
+
+    v = xv[:].reshape(mhop, 2, lanes_p)
+    xevv = v[:, 0, :]
+    xovv = v[:, 1, :]
+    for r in range(q):
+        pe = xevv if r == 0 else pltpu.roll(xevv, lanes_p - r, 1)
+        po = xovv if r == 0 else pltpu.roll(xovv, lanes_p - r, 1)
+        sre_ref[r * mhop:(r + 1) * mhop, :] = (
+            pe[:, :tk] * we_ref[r * mhop:(r + 1) * mhop, :])
+        sim_ref[r * mhop:(r + 1) * mhop, :] = (
+            po[:, :tk] * wo_ref[r * mhop:(r + 1) * mhop, :])
+
+    _forward_stages(sre_ref, sim_ref, twr_ref, twi_ref, nfft=m, tk=tk,
+                    n_stages=n_stages, real_input=False)
+    nyq_row = _packed_tail_power(sre_ref, sim_ref, dp_ref, dpr_ref, dpr0_ref,
+                                 wkr_ref, wki_ref, m=m, tk=tk, lstop=lstop,
+                                 selfs=selfs, crosses=crosses)
+    mel_e = jnp.dot(mel_ref[:], sre_ref[:],
+                    preferred_element_type=jnp.float32,
+                    precision=_kernel_precision())
+    mel_e = mel_e + nyq_ref[:] * nyq_row
+    if fuse_mfcc:
+        lm = jnp.log(mel_e + jnp.float32(log_eps))
+        mel_e = jnp.dot(dct_ref[:], lm,
+                        preferred_element_type=jnp.float32,
+                        precision=_kernel_precision())
+    out_ref[0, :, :] = mel_e.T
+
+
+def _stft_mel_call_packed(x, nfft, hop, n_mels, sample_rate, window,
+                          window_param, fmin, fmax, variant, interpret,
+                          dct_lift=None, log_eps=0.0):
+    from vv_dsp_tpu.ops.window import get_window_np
+
+    if interpret is None:
+        interpret = not _on_tpu()
+    if not stft_mel_packed_supported(nfft, hop):
+        raise ValueError("unsupported geometry; "
+                         "check stft_mel_packed_supported()")
+    if jnp.iscomplexobj(x):
+        raise TypeError("real input required")
+    if x.ndim != 2:
+        raise ValueError("expected (channels, n)")
+    x = config.as_compute(x)
+    if x.dtype != jnp.float32:
+        x = x.astype(jnp.float32)
+    if fmax is None:
+        fmax = sample_rate / 2.0
+
+    c, n = x.shape
+    m = nfft // 2
+    mhop = hop // 2
+    q = nfft // hop
+    tk = _TK
+    lstop = min(_LSTOP, m)
+    n_stages = (m // lstop).bit_length() - 1
+    nf = 1 if n < nfft else 1 + (n - nfft + hop) // hop
+    nf_p = _round_up(nf, tk)
+    lanes_p = _round_up(tk + q - 1, 128)
+    nb = nf_p - tk + lanes_p
+    xp = jnp.pad(x, ((0, 0), (0, nb * hop - n)))
+    # plain interleaved hop-block tiling (identical to the unpacked
+    # kernel's prologue); the even/odd parity split happens in-kernel as a
+    # sublane deinterleave, which is ~free — every host-side XLA parity
+    # transpose measured ~2.3 ms (stride-2 minor emitters)
+    xt = jnp.swapaxes(xp.reshape(c, nb, hop), -1, -2)
+
+    w_np = get_window_np(window, nfft, window_param).astype(np.float32)
+    we = np.ascontiguousarray(w_np[0::2]).reshape(m, 1)
+    wo = np.ascontiguousarray(w_np[1::2]).reshape(m, 1)
+    twr, twi = _stage_twiddles(m, n_stages)
+    dp, dpr, dpr0 = _packed_tail_mats(lstop)
+    wkr, wki = _packed_wk(nfft, lstop)
+    selfs, crosses, _ = _packed_pair_plan(m, lstop)
+    melm, nyqcol = _mel_matrix_packed(nfft, n_mels, float(sample_rate),
+                                      float(fmin), float(fmax), variant,
+                                      lstop)
+    mels_p = melm.shape[0]
+    fuse = dct_lift is not None
+
+    kernel = functools.partial(
+        _stft_mel_packed_kernel, m=m, mhop=mhop, q=q, tk=tk, lanes_p=lanes_p,
+        n_stages=n_stages, lstop=lstop, selfs=tuple(selfs),
+        crosses=tuple(crosses), fuse_mfcc=fuse, log_eps=float(log_eps))
+    const = lambda shape: pl.BlockSpec(shape, lambda c, f: (0, 0),
+                                       memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.HBM),
+        const((m, 1)), const((m, 1)), const(twr.shape), const(twi.shape),
+        const(dp.shape), const(dpr.shape), const(dpr0.shape),
+        const((m, 1)), const((m, 1)), const(melm.shape), const(nyqcol.shape),
+    ]
+    args = [xt, jnp.asarray(we), jnp.asarray(wo), jnp.asarray(twr),
+            jnp.asarray(twi), jnp.asarray(dp), jnp.asarray(dpr),
+            jnp.asarray(dpr0), jnp.asarray(wkr), jnp.asarray(wki),
+            jnp.asarray(melm), jnp.asarray(nyqcol)]
+    if fuse:
+        in_specs.append(const(dct_lift.shape))
+        args.append(jnp.asarray(dct_lift))
+    out = pl.pallas_call(
+        kernel,
+        grid=(c, nf_p // tk),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, tk, mels_p), lambda c, f: (c, f, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((c, nf_p, mels_p), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((hop, lanes_p), jnp.float32),
+            pltpu.VMEM((m, tk), jnp.float32),
+            pltpu.VMEM((m, tk), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(*args)
+    return out, nf
+
+
 def stft_mel_supported(nfft: int, hop: int, n: int | None = None) -> bool:
     """Geometry the fused kernel handles: pow2 nfft in [128, 2048] (VMEM
     bound: the (nfft, 128) re/im tiles plus stage temporaries), hop | nfft,
@@ -395,26 +705,86 @@ def _packed_idft(lstop: int, nfft: int) -> np.ndarray:
 def _forward_stages(sre_ref, sim_ref, twr_ref, twi_ref, *, nfft, tk,
                     n_stages, real_input):
     """In-place DIF butterflies, span nfft down to lstop (stage s handles
-    l = nfft >> s). real_input specializes stage 0 for imag == 0."""
-    l = nfft
-    start = 0
-    if real_input:
-        if n_stages >= 1:
-            h = l // 2
-            a = sre_ref[:h, :]
-            b = sre_ref[h:, :]
-            wr = twr_ref[0, :h].reshape(h, 1)
-            wi = twi_ref[0, :h].reshape(h, 1)
-            d0 = a - b
-            sre_ref[:h, :] = a + b
-            sre_ref[h:, :] = d0 * wr
-            sim_ref[:h, :] = jnp.zeros((h, tk), jnp.float32)
-            sim_ref[h:, :] = d0 * wi
-            l //= 2
-            start = 1
-        else:
-            sim_ref[:, :] = jnp.zeros((nfft, tk), jnp.float32)
-    for stage in range(start, n_stages):
+    l = nfft >> s), fused in radix-4 pairs: one radix-4 pass computes the
+    exact same values in the exact same positions as two radix-2 DIF stages
+    (so the row->bin permutation is unchanged) but makes HALF the memory
+    passes over the (nfft, tk) tiles — the stages are VPU/VMEM-bound, and
+    this measured ~35% off the butterfly phase at nfft=2048.
+
+    real_input specializes the first pass for imag == 0 (the radix-4 form
+    folds stages 0+1 with real a,b,c,d when n_stages >= 2)."""
+    stage = 0
+    # real-input radix-4 first pass: stages 0+1 with ai=bi=ci=di=0
+    if real_input and n_stages >= 2:
+        h4 = nfft // 4
+        v = sre_ref[:].reshape(4, h4, tk)
+        ar, br, cr, dr = v[0], v[1], v[2], v[3]
+        w1r = twr_ref[0, :h4].reshape(h4, 1)
+        w1i = twi_ref[0, :h4].reshape(h4, 1)
+        w2r = twr_ref[1, :h4].reshape(h4, 1)
+        w2i = twi_ref[1, :h4].reshape(h4, 1)
+        w3r = w1r * w2r - w1i * w2i
+        w3i = w1r * w2i + w1i * w2r
+        s0 = ar + cr
+        s1 = br + dr
+        t0 = ar - cr
+        t1 = br - dr
+        u1 = s0 - s1
+        sre_ref[:, :] = jnp.stack(
+            [s0 + s1, u1 * w2r, t0 * w1r + t1 * w1i,
+             t0 * w3r - t1 * w3i], axis=0).reshape(nfft, tk)
+        sim_ref[:, :] = jnp.stack(
+            [jnp.zeros((h4, tk), jnp.float32), u1 * w2i,
+             t0 * w1i - t1 * w1r, t0 * w3i + t1 * w3r],
+            axis=0).reshape(nfft, tk)
+        stage = 2
+    elif real_input and n_stages == 1:
+        h = nfft // 2
+        a = sre_ref[:h, :]
+        b = sre_ref[h:, :]
+        wr = twr_ref[0, :h].reshape(h, 1)
+        wi = twi_ref[0, :h].reshape(h, 1)
+        d0 = a - b
+        sre_ref[:h, :] = a + b
+        sre_ref[h:, :] = d0 * wr
+        sim_ref[:h, :] = jnp.zeros((h, tk), jnp.float32)
+        sim_ref[h:, :] = d0 * wi
+        stage = 1
+    elif real_input:
+        sim_ref[:, :] = jnp.zeros((nfft, tk), jnp.float32)
+        stage = n_stages  # nothing else to do
+    # complex radix-4 passes (stages stage, stage+1)
+    while stage + 1 < n_stages:
+        l = nfft >> stage
+        r_ = nfft // l
+        h4 = l // 4
+        vr = sre_ref[:].reshape(r_, 4, h4, tk)
+        vi = sim_ref[:].reshape(r_, 4, h4, tk)
+        ar, br, cr, dr = vr[:, 0], vr[:, 1], vr[:, 2], vr[:, 3]
+        ai, bi, ci, di = vi[:, 0], vi[:, 1], vi[:, 2], vi[:, 3]
+        w1r = twr_ref[stage, :h4].reshape(1, h4, 1)
+        w1i = twi_ref[stage, :h4].reshape(1, h4, 1)
+        w2r = twr_ref[stage + 1, :h4].reshape(1, h4, 1)
+        w2i = twi_ref[stage + 1, :h4].reshape(1, h4, 1)
+        w3r = w1r * w2r - w1i * w2i
+        w3i = w1r * w2i + w1i * w2r
+        s0r, s0i = ar + cr, ai + ci
+        s1r, s1i = br + dr, bi + di
+        t0r, t0i = ar - cr, ai - ci
+        t1r, t1i = br - dr, bi - di
+        u1r, u1i = s0r - s1r, s0i - s1i
+        u2r, u2i = t0r + t1i, t0i - t1r   # (a-c) - j(b-d)
+        u3r, u3i = t0r - t1i, t0i + t1r   # (a-c) + j(b-d)
+        sre_ref[:, :] = jnp.stack(
+            [s0r + s1r, u1r * w2r - u1i * w2i, u2r * w1r - u2i * w1i,
+             u3r * w3r - u3i * w3i], axis=1).reshape(nfft, tk)
+        sim_ref[:, :] = jnp.stack(
+            [s0i + s1i, u1r * w2i + u1i * w2r, u2r * w1i + u2i * w1r,
+             u3r * w3i + u3i * w3r], axis=1).reshape(nfft, tk)
+        stage += 2
+    # trailing radix-2 stage (odd remainder)
+    if stage < n_stages:
+        l = nfft >> stage
         r_ = nfft // l
         h = l // 2
         vr = sre_ref[:].reshape(r_, 2, h, tk)
@@ -429,7 +799,6 @@ def _forward_stages(sre_ref, sim_ref, twr_ref, twi_ref, *, nfft, tk,
             [ar + br, dr * wr - di * wi], axis=1).reshape(nfft, tk)
         sim_ref[:, :] = jnp.stack(
             [ai + bi, dr * wi + di * wr], axis=1).reshape(nfft, tk)
-        l //= 2
 
 
 def _inverse_stages(sre_ref, sim_ref, twr_ref, twi_ref, *, nfft, tk,
@@ -437,8 +806,13 @@ def _inverse_stages(sre_ref, sim_ref, twr_ref, twi_ref, *, nfft, tk,
     """Mirror of _forward_stages: for each forward stage u = a+b,
     v = (a-b)w, the unscaled inverse is a = u + v*conj(w),
     b = u - v*conj(w) (the 2^stages factor lives in _packed_idft).
-    Stages run in reverse span order (l = lstop*2 up to nfft)."""
-    for stage in range(n_stages - 1, -1, -1):
+    Stages run in reverse span order (l = lstop*2 up to nfft), fused in
+    radix-4 pairs (the exact composition of two radix-2 inverse stages —
+    half the memory passes, same values in the same positions)."""
+    stage = n_stages - 1
+    # trailing radix-2 when n_stages is odd (inverse of the forward's last
+    # radix-2 stage, executed FIRST on the way back up)
+    if n_stages % 2 == 1:
         l = nfft >> stage
         r_ = nfft // l
         h = l // 2
@@ -454,6 +828,42 @@ def _inverse_stages(sre_ref, sim_ref, twr_ref, twi_ref, *, nfft, tk,
             [ur + tr, ur - tr], axis=1).reshape(nfft, tk)
         sim_ref[:, :] = jnp.stack(
             [ui + ti, ui - ti], axis=1).reshape(nfft, tk)
+        stage -= 1
+    # radix-4 inverse passes: undo forward stages (stage-1, stage) per pass
+    while stage >= 1:
+        s = stage - 1          # the pair is (s, s+1); spans (nfft>>s, ...)
+        l = nfft >> s
+        r_ = nfft // l
+        h4 = l // 4
+        vr = sre_ref[:].reshape(r_, 4, h4, tk)
+        vi = sim_ref[:].reshape(r_, 4, h4, tk)
+        o0r, o1r, o2r, o3r = vr[:, 0], vr[:, 1], vr[:, 2], vr[:, 3]
+        o0i, o1i, o2i, o3i = vi[:, 0], vi[:, 1], vi[:, 2], vi[:, 3]
+        w1r = twr_ref[s, :h4].reshape(1, h4, 1)
+        w1i = twi_ref[s, :h4].reshape(1, h4, 1)
+        w2r = twr_ref[s + 1, :h4].reshape(1, h4, 1)
+        w2i = twi_ref[s + 1, :h4].reshape(1, h4, 1)
+        # x*conj(w): re = xr*wr + xi*wi, im = xi*wr - xr*wi
+        a1r = o1r * w2r + o1i * w2i
+        a1i = o1i * w2r - o1r * w2i
+        a3r = o3r * w2r + o3i * w2i
+        a3i = o3i * w2r - o3r * w2i
+        g0r, g0i = o0r + a1r, o0i + a1i       # 2(a+c)
+        g1r, g1i = o0r - a1r, o0i - a1i       # 2(b+d)
+        pr, pi = o2r + a3r, o2i + a3i         # 2 w1 (a-c)
+        qr, qi = o2r - a3r, o2i - a3i         # -2j w1 (b-d)
+        pwr = pr * w1r + pi * w1i             # 2(a-c)
+        pwi = pi * w1r - pr * w1i
+        qwr = qr * w1r + qi * w1i             # -2j(b-d)
+        qwi = qi * w1r - qr * w1i
+        qjr, qji = -qwi, qwr                  # j * qw = 2(b-d)
+        sre_ref[:, :] = jnp.stack(
+            [g0r + pwr, g1r + qjr, g0r - pwr, g1r - qjr],
+            axis=1).reshape(nfft, tk)
+        sim_ref[:, :] = jnp.stack(
+            [g0i + pwi, g1i + qji, g0i - pwi, g1i - qji],
+            axis=1).reshape(nfft, tk)
+        stage -= 2
 
 
 def stft_gate_supported(nfft: int, hop: int) -> bool:
@@ -857,9 +1267,20 @@ def stft_mel_energies_pallas(x, nfft: int, hop: int, n_mels: int,
     (channels, frames, n_mels) f32. Numerically equivalent (f32 rounding) to
     mel_energies_from_power_parts(*STFT(...).power_parts(x), ...); frame
     count and tail zero-padding match STFT.num_frames / spectrogram
-    (src/spectral/stft.c:118,124-137)."""
-    out, nf = _stft_mel_call(x, nfft, hop, n_mels, sample_rate, window,
-                             window_param, fmin, fmax, variant, interpret)
+    (src/spectral/stft.c:118,124-137).
+
+    Dispatch: the packed-real kernel (m = nfft/2 complex FFT + Hermitian
+    pair unpack — ~1.3x faster at the flagship geometry and it extends
+    coverage to nfft 4096) when the geometry allows, else the plain
+    full-nfft Stockham kernel."""
+    if stft_mel_packed_supported(nfft, hop):
+        out, nf = _stft_mel_call_packed(x, nfft, hop, n_mels, sample_rate,
+                                        window, window_param, fmin, fmax,
+                                        variant, interpret)
+    else:
+        out, nf = _stft_mel_call(x, nfft, hop, n_mels, sample_rate, window,
+                                 window_param, fmin, fmax, variant,
+                                 interpret)
     return out[:, :nf, :n_mels]
 
 
@@ -881,7 +1302,13 @@ def stft_mfcc_pallas(x, nfft: int, hop: int, n_mels: int, n_mfcc: int,
     dm = _dct2_matrix(n_mels)[:n_mfcc] * _lifter_np(n_mfcc,
                                                     float(lifter))[:, None]
     d[:n_mfcc, :n_mels] = dm.astype(np.float32)
-    out, nf = _stft_mel_call(x, nfft, hop, n_mels, sample_rate, window,
-                             window_param, fmin, fmax, variant, interpret,
-                             dct_lift=d, log_eps=log_epsilon)
+    if stft_mel_packed_supported(nfft, hop):
+        out, nf = _stft_mel_call_packed(x, nfft, hop, n_mels, sample_rate,
+                                        window, window_param, fmin, fmax,
+                                        variant, interpret, dct_lift=d,
+                                        log_eps=log_epsilon)
+    else:
+        out, nf = _stft_mel_call(x, nfft, hop, n_mels, sample_rate, window,
+                                 window_param, fmin, fmax, variant,
+                                 interpret, dct_lift=d, log_eps=log_epsilon)
     return out[:, :nf, :n_mfcc]

@@ -403,7 +403,8 @@ def _fused_fir_resample_filter(fir_key, up: int, down: int):
 
 
 def fir_resample_fused(h_fir, x, up: int, down: int,
-                       group: int | None = None):
+                       group: int | None = None,
+                       algorithm: str | None = None):
     """resample_poly(fir_apply(h_fir, x), up, down) in ONE MXU pass —
     sample-exact vs the staged pair, including the staged FIR's end-of-signal
     truncation (the composite filter "sees" the FIR tail past n that
@@ -414,6 +415,10 @@ def fir_resample_fused(h_fir, x, up: int, down: int,
     matmul. FLOP overhead vs the algorithmic minimum is Win/taps_pp ~ 2x
     at the default group (the wider frames measured faster anyway: MXU
     tile height beats band zero-fill on v5e).
+
+    algorithm: banded-kernel dot algorithm ("f32" | "bf16x3" | "bf16");
+    None follows the config matmul-precision knob
+    (ops.pallas_upfirdn._resolve_algorithm).
     """
     x = config.as_compute(x)
     g = math.gcd(up, down)
@@ -436,7 +441,7 @@ def fir_resample_fused(h_fir, x, up: int, down: int,
         grp = max(1, int(round(taps_pp / down)))
         y = kernel_with_xla_vjp(
             lambda xv: _pu.upfirdn_banded_pallas(xv, gf, up, down, offset,
-                                                 n_out),
+                                                 n_out, algorithm=algorithm),
             lambda xv: _upfirdn_tall(gf, xv, up, down, offset, n_out, grp),
         )(x)
     else:

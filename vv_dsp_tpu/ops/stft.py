@@ -81,11 +81,12 @@ class STFT:
         x = config.as_compute(x)
         n = x.shape[-1]
         nf = self.num_frames(n)
-        if x.ndim == 2 and not jnp.iscomplexobj(x) and self.nfft >= 2048:
-            # below 2048 the dense windowed-basis matmul wins: the complex
-            # spectrum's HBM traffic dominates and the Stockham path pays
-            # extra transpose+gather passes over it (measured 3.0 vs 2.2 ms
-            # at nfft=1024 x 30k frames; at 2048 the FLOP saving wins)
+        if x.ndim == 2 and not jnp.iscomplexobj(x) and self.nfft >= 512:
+            # below 512 the dense windowed-basis matmul ties/wins; from 512
+            # up the Stockham kernel wins (honest full-sum chained timing,
+            # v5e, 16ch x 480k: c2c 2.8 vs 3.1 ms at 512, 2.9 vs 4.5 at
+            # 1024 — round-2's opposite conclusion came from a benchmark
+            # whose sliced consumption let XLA prune the dense matmul)
             from vv_dsp_tpu.ops import pallas_fft as _pf
             from vv_dsp_tpu.utils.kernel_grad import kernel_with_xla_vjp
             import jax as _jax

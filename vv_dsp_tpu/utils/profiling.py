@@ -91,7 +91,7 @@ def benchmark(name: str, fn, *args, n_samples: int | None = None,
 
 def chain_benchmark(name: str, step, x, n_samples: int | None = None,
                     sample_rate: float = 48000.0,
-                    iters: int = 10) -> BenchResult:
+                    iters: int = 200, repeats: int = 3) -> BenchResult:
     """Remote-safe timing: all iterations inside ONE jitted lax.fori_loop
     with iteration k+1 data-dependent on k, one scalar transfer at the end.
 
@@ -100,7 +100,15 @@ def chain_benchmark(name: str, step, x, n_samples: int | None = None,
     it agrees with :func:`benchmark`.
 
     step(x, acc_scalar) -> scalar must fold `acc` into its input (e.g.
-    ``x + acc * 1e-30``) so XLA cannot hoist the body out of the loop.
+    ``x + acc * 1e-30``) AND reduce the FULL output (e.g. sum) — consuming
+    only a slice lets XLA's simplifier prune work back through the dots
+    (measured 2x inflation on a dense-basis STFT).
+
+    iters amortizes the per-CALL dispatch overhead (~20-30 ms through the
+    remote tunnel — a scalar-only 1000-iteration loop costs the same total
+    as a 1-iteration one, so the overhead is per call, not per iteration);
+    at the default 200 it biases a 1 ms-class op by ~10%. repeats takes
+    best-of-N against transport congestion drift.
     """
     import jax.numpy as jnp
     from jax import lax
@@ -114,9 +122,12 @@ def chain_benchmark(name: str, step, x, n_samples: int | None = None,
                              jnp.float32(0.0))
 
     float(run(x))  # compile + warmup
-    t0 = time.perf_counter()
-    float(run(x))
-    per_call = (time.perf_counter() - t0) / iters
+    best = float("inf")
+    for _ in range(max(1, repeats)):
+        t0 = time.perf_counter()
+        float(run(x))
+        best = min(best, time.perf_counter() - t0)
+    per_call = best / iters
     return BenchResult(
         name=name,
         elapsed_ms=per_call * 1e3,
