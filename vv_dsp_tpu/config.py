@@ -54,6 +54,23 @@ def get_matmul_precision():
     return MATMUL_PRECISION
 
 
+import contextlib as _contextlib
+
+
+@_contextlib.contextmanager
+def matmul_precision(name: str):
+    """Scoped version of set_matmul_precision: the knob applies to
+    everything TRACED inside the block (models use this to pin their
+    documented precision independent of the ambient global)."""
+    global MATMUL_PRECISION
+    prev = MATMUL_PRECISION
+    set_matmul_precision(name)
+    try:
+        yield
+    finally:
+        MATMUL_PRECISION = prev
+
+
 def real_dtype(dtype=None):
     """Resolve a real dtype argument (None -> default)."""
     return DEFAULT_REAL_DTYPE if dtype is None else jnp.dtype(dtype)

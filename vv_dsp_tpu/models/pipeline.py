@@ -61,6 +61,10 @@ class NorthStarChain:
     #: accumulation (2.3e-6), or None to follow the global
     #: config.set_matmul_precision knob.
     head_algorithm: str | None = "bf16x3"
+    #: dot algorithm for the fused STFT->mel->MFCC kernel's MXU stages
+    #: (DFT tail / mel projection / DCT): same tiers and rationale as
+    #: head_algorithm; the FFT butterflies are always native f32 (VPU).
+    stft_algorithm: str | None = "bf16x3"
 
     @functools.cached_property
     def fir_coeffs(self):
@@ -91,7 +95,8 @@ class NorthStarChain:
         # best-path STFT->mel: fused Stockham Pallas kernel on TPU (no
         # frames/spectrum/power in HBM), power-parts matmuls otherwise
         return _mel.mfcc_stft(y, self.nfft, self.hop, self.n_mels,
-                              self.n_mfcc, sr, window=self.window)
+                              self.n_mfcc, sr, window=self.window,
+                              algorithm=self.stft_algorithm)
 
     def apply_sharded(self, x, mesh):
         """Multi-chip execution: FIR and resample run as halo-exchange

@@ -183,7 +183,8 @@ def mfcc(power_spec, n_fft: int, n_mels: int, n_coeffs: int, sample_rate: float,
 def mel_energies_stft(x, nfft: int, hop: int, n_mels: int,
                       sample_rate: float, window: str = "hann",
                       window_param=None, fmin: float = 0.0,
-                      fmax: float | None = None, variant: str = "htk"):
+                      fmax: float | None = None, variant: str = "htk",
+                      algorithm: str | None = None):
     """Signal -> STFT mel energies, best-path dispatch: the fused Stockham
     Pallas kernel on TPU when the geometry allows (no frames / spectrum /
     power array ever in HBM; ops/pallas_fft.py), else the framing-free
@@ -199,7 +200,7 @@ def mel_energies_stft(x, nfft: int, hop: int, n_mels: int,
             and jax.default_backend() == "tpu"):
         fast = lambda xv: _pf.stft_mel_energies_pallas(
             xv, nfft, hop, n_mels, sample_rate, window, window_param,
-            fmin, fmax, variant)
+            fmin, fmax, variant, algorithm=algorithm)
 
         def ref(xv):  # XLA path for the backward pass (kernel_grad)
             re, im = plan.power_parts(xv)
@@ -226,7 +227,7 @@ def mfcc_stft(x, nfft: int, hop: int, n_mels: int, n_coeffs: int,
               sample_rate: float, window: str = "hann", window_param=None,
               fmin: float = 0.0, fmax: float | None = None,
               log_epsilon: float = 1e-10, lifter: float = 0.0,
-              variant: str = "htk"):
+              variant: str = "htk", algorithm: str | None = None):
     """Signal -> MFCC via the best fused STFT->mel path (see
     mel_energies_stft); on TPU the log + DCT-II + lifter tail fuses into
     the same kernel pass (stft_mfcc_pallas)."""
@@ -240,7 +241,8 @@ def mfcc_stft(x, nfft: int, hop: int, n_mels: int, n_coeffs: int,
             and jax.default_backend() == "tpu"):
         fast = lambda xv: _pf.stft_mfcc_pallas(
             xv, nfft, hop, n_mels, n_coeffs, sample_rate, window,
-            window_param, fmin, fmax, log_epsilon, lifter, variant)
+            window_param, fmin, fmax, log_epsilon, lifter, variant,
+            algorithm=algorithm)
 
         def ref(xv):  # XLA path for the backward pass (kernel_grad)
             plan = STFT(nfft, hop, window, window_param)

@@ -53,7 +53,9 @@ _TK = 128    # frames per grid step (lane width)
 
 
 from vv_dsp_tpu.ops.pallas_kernels import (_kernel_precision, _on_tpu,
-                                            _round_up)
+                                            _round_up,
+                                            dot_alg as _dot_alg,
+                                            dot_algorithm as _dot_algorithm)
 
 
 def _bitrev_perm(nb: int) -> np.ndarray:
@@ -241,7 +243,8 @@ def stft_mel_packed_supported(nfft: int, hop: int) -> bool:
 
 
 def _packed_tail_power(sre_ref, sim_ref, dp_ref, dpr_ref, dpr0_ref, wkr_ref,
-                       wki_ref, *, m, tk, lstop, selfs, crosses):
+                       wki_ref, *, m, tk, lstop, selfs, crosses,
+                       algorithm="f32"):
     """DFT-lstop tail + Hermitian-unpack powers, in place: on return
     sre_ref rows hold |X[bin(row)]|^2 in the packed STORAGE order and the
     returned (1, tk) row is the Nyquist-bin power."""
@@ -267,11 +270,8 @@ def _packed_tail_power(sre_ref, sim_ref, dp_ref, dpr_ref, dpr0_ref, wkr_ref,
         lo = b * lstop
         packed = jnp.concatenate(
             [sre_ref[lo:lo + lstop, :], sim_ref[lo:lo + lstop, :]], axis=0)
-        nv = jnp.dot(dpv, packed, preferred_element_type=jnp.float32,
-                     precision=_kernel_precision())
-        rv = jnp.dot(dpr0v if kind == 0 else dprv, packed,
-                     preferred_element_type=jnp.float32,
-                     precision=_kernel_precision())
+        nv = _dot_alg(dpv, packed, algorithm)
+        rv = _dot_alg(dpr0v if kind == 0 else dprv, packed, algorithm)
         p1, p2 = unpack(lo, nv[:lstop], nv[lstop:], rv[:lstop], rv[lstop:])
         sre_ref[lo:lo + lstop, :] = p1
         if kind == 0:
@@ -285,10 +285,8 @@ def _packed_tail_power(sre_ref, sim_ref, dp_ref, dpr_ref, dpr0_ref, wkr_ref,
         packed2 = jnp.concatenate(
             [sre_ref[lo2:lo2 + lstop, :], sim_ref[lo2:lo2 + lstop, :]],
             axis=0)
-        nv = jnp.dot(dpv, packed1, preferred_element_type=jnp.float32,
-                     precision=_kernel_precision())
-        rv = jnp.dot(dprv, packed2, preferred_element_type=jnp.float32,
-                     precision=_kernel_precision())
+        nv = _dot_alg(dpv, packed1, algorithm)
+        rv = _dot_alg(dprv, packed2, algorithm)
         p1, p2 = unpack(lo1, nv[:lstop], nv[lstop:], rv[:lstop], rv[lstop:])
         sre_ref[lo1:lo1 + lstop, :] = p1
         sre_ref[lo2:lo2 + lstop, :] = p2
@@ -299,7 +297,7 @@ def _stft_mel_packed_kernel(xt_hbm, we_ref, wo_ref, twr_ref, twi_ref,
                             dp_ref, dpr_ref, dpr0_ref, wkr_ref, wki_ref,
                             mel_ref, nyq_ref, *rest, m, mhop, q, tk, lanes_p,
                             n_stages, lstop, selfs, crosses, fuse_mfcc=False,
-                            log_eps=0.0):
+                            log_eps=0.0, algorithm="f32"):
     if fuse_mfcc:
         dct_ref, out_ref, xv, sre_ref, sim_ref, sem = rest
     else:
@@ -329,22 +327,19 @@ def _stft_mel_packed_kernel(xt_hbm, we_ref, wo_ref, twr_ref, twi_ref,
                     n_stages=n_stages, real_input=False)
     nyq_row = _packed_tail_power(sre_ref, sim_ref, dp_ref, dpr_ref, dpr0_ref,
                                  wkr_ref, wki_ref, m=m, tk=tk, lstop=lstop,
-                                 selfs=selfs, crosses=crosses)
-    mel_e = jnp.dot(mel_ref[:], sre_ref[:],
-                    preferred_element_type=jnp.float32,
-                    precision=_kernel_precision())
+                                 selfs=selfs, crosses=crosses,
+                                 algorithm=algorithm)
+    mel_e = _dot_alg(mel_ref[:], sre_ref[:], algorithm)
     mel_e = mel_e + nyq_ref[:] * nyq_row
     if fuse_mfcc:
         lm = jnp.log(mel_e + jnp.float32(log_eps))
-        mel_e = jnp.dot(dct_ref[:], lm,
-                        preferred_element_type=jnp.float32,
-                        precision=_kernel_precision())
+        mel_e = _dot_alg(dct_ref[:], lm, algorithm)
     out_ref[0, :, :] = mel_e.T
 
 
 def _stft_mel_call_packed(x, nfft, hop, n_mels, sample_rate, window,
                           window_param, fmin, fmax, variant, interpret,
-                          dct_lift=None, log_eps=0.0):
+                          dct_lift=None, log_eps=0.0, algorithm=None):
     from vv_dsp_tpu.ops.window import get_window_np
 
     if interpret is None:
@@ -396,7 +391,8 @@ def _stft_mel_call_packed(x, nfft, hop, n_mels, sample_rate, window,
     kernel = functools.partial(
         _stft_mel_packed_kernel, m=m, mhop=mhop, q=q, tk=tk, lanes_p=lanes_p,
         n_stages=n_stages, lstop=lstop, selfs=tuple(selfs),
-        crosses=tuple(crosses), fuse_mfcc=fuse, log_eps=float(log_eps))
+        crosses=tuple(crosses), fuse_mfcc=fuse, log_eps=float(log_eps),
+        algorithm=_dot_algorithm(algorithm))
     const = lambda shape: pl.BlockSpec(shape, lambda c, f: (0, 0),
                                        memory_space=pltpu.VMEM)
     in_specs = [
@@ -1262,7 +1258,8 @@ def stft_mel_energies_pallas(x, nfft: int, hop: int, n_mels: int,
                              window_param=None, fmin: float = 0.0,
                              fmax: float | None = None,
                              variant: str = "htk",
-                             interpret: bool | None = None):
+                             interpret: bool | None = None,
+                             algorithm: str | None = None):
     """Fused STFT power -> mel energies: (channels, n) real ->
     (channels, frames, n_mels) f32. Numerically equivalent (f32 rounding) to
     mel_energies_from_power_parts(*STFT(...).power_parts(x), ...); frame
@@ -1276,7 +1273,8 @@ def stft_mel_energies_pallas(x, nfft: int, hop: int, n_mels: int,
     if stft_mel_packed_supported(nfft, hop):
         out, nf = _stft_mel_call_packed(x, nfft, hop, n_mels, sample_rate,
                                         window, window_param, fmin, fmax,
-                                        variant, interpret)
+                                        variant, interpret,
+                                        algorithm=algorithm)
     else:
         out, nf = _stft_mel_call(x, nfft, hop, n_mels, sample_rate, window,
                                  window_param, fmin, fmax, variant,
@@ -1289,7 +1287,8 @@ def stft_mfcc_pallas(x, nfft: int, hop: int, n_mels: int, n_mfcc: int,
                      window_param=None, fmin: float = 0.0,
                      fmax: float | None = None, log_epsilon: float = 1e-10,
                      lifter: float = 0.0, variant: str = "htk",
-                     interpret: bool | None = None):
+                     interpret: bool | None = None,
+                     algorithm: str | None = None):
     """The FULL MFCC pipeline in one kernel pass: STFT power -> mel ->
     log -> lifted DCT-II, nothing but the signal read and the
     (frames, n_mfcc) write in HBM. Matches mfcc_from_power_parts(...)
@@ -1306,7 +1305,8 @@ def stft_mfcc_pallas(x, nfft: int, hop: int, n_mels: int, n_mfcc: int,
         out, nf = _stft_mel_call_packed(x, nfft, hop, n_mels, sample_rate,
                                         window, window_param, fmin, fmax,
                                         variant, interpret, dct_lift=d,
-                                        log_eps=log_epsilon)
+                                        log_eps=log_epsilon,
+                                        algorithm=algorithm)
     else:
         out, nf = _stft_mel_call(x, nfft, hop, n_mels, sample_rate, window,
                                  window_param, fmin, fmax, variant,

@@ -88,21 +88,9 @@ def _band_matrix(g_key, up: int, down: int, offset: int, b_out: int,
 
 
 def _resolve_algorithm(algorithm: str | None) -> str:
-    """Map the runtime matmul-precision knob onto the banded kernel's dot
-    algorithm when none is forced: highest -> 6-pass f32 ("f32"), high ->
-    error-compensated 3-pass bf16 ("bf16x3" — what lax.Precision.HIGH means
-    on TPU; Mosaic dots can't express it so it is implemented as an
-    explicit hi/lo split here), default -> single-pass bf16 ("bf16")."""
-    if algorithm is not None:
-        if algorithm not in ("f32", "bf16x3", "bf16"):
-            raise ValueError("algorithm must be f32 | bf16x3 | bf16")
-        return algorithm
-    from vv_dsp_tpu import config as _c
-    if _c.MATMUL_PRECISION == jax.lax.Precision.DEFAULT:
-        return "bf16"
-    if _c.MATMUL_PRECISION == jax.lax.Precision.HIGH:
-        return "bf16x3"
-    return "f32"
+    """See pallas_kernels.dot_algorithm (shared knob -> algorithm map)."""
+    from vv_dsp_tpu.ops.pallas_kernels import dot_algorithm
+    return dot_algorithm(algorithm)
 
 
 def _kern(x_main, x_next, w_ref, out_ref, ext, *, b_in, k_wp, n_roll,
