@@ -71,6 +71,14 @@ def scan_stream(step, state, signal, block_len, out_axis=-1):
         return s2, out
 
     state, outs = jax.lax.scan(body, state, blocks)
+    if not isinstance(outs, jax.Array):
+        # a composed step returning a pytree (e.g. a tuple of streams) would
+        # otherwise crash below on .ndim with an opaque AttributeError
+        raise TypeError(
+            "scan_stream expects step to return a single array per block; "
+            f"got {jax.tree_util.tree_structure(outs)} — merge multi-output "
+            "steps yourself (jax.tree_util.tree_map over lax.scan) or wrap "
+            "the step to return one array")
     # outs: (k, ...out_shape...) — fold the block axis into out_axis.
     a = out_axis if out_axis < 0 else out_axis - (outs.ndim - 1)
     if not (-(outs.ndim - 1) <= a <= -1):
