@@ -113,6 +113,26 @@ def main():
             lambda v, acc: _use(_hb.envelope(v + acc * 1e-30)),
             x, n_samples=total, sample_rate=fs))
 
+    # --- CZT / cepstrum (spectral consumers through the universal FFT
+    # dispatch; reference: bench_czt tool, src/envelope/cepstrum.c) ---
+    if not args.quick:
+        import math as _math
+        from vv_dsp_tpu.ops import czt as _czt
+        from vv_dsp_tpu.ops import envelope as _env
+        n_czt = 4096
+        xz = x[:, :n_czt]
+        w_dft = complex(_math.cos(2 * _math.pi / n_czt),
+                        -_math.sin(2 * _math.pi / n_czt))
+        record(chain_benchmark(
+            "czt_4096_dft_equiv",
+            lambda v, acc: _use_c(_czt.czt(v + acc * 1e-30, n_czt, w_dft,
+                                           1.0 + 0j)),
+            xz, n_samples=channels * n_czt, sample_rate=fs))
+        record(chain_benchmark(
+            "cepstrum_4096",
+            lambda v, acc: _use(_env.cepstrum_real(v + acc * 1e-30)),
+            xz, n_samples=channels * n_czt, sample_rate=fs))
+
     # --- end-to-end pipelines (bench_pipeline.c analog + north star) ---
     gate = SpectralGate()
     record(chain_benchmark(

@@ -98,7 +98,10 @@ def test_four_step_factors():
         # on the 4096-pt STFT frame batch)
         assert vfft._fft_tier(4096, "r2c") == "four_step"
         assert vfft._fft_tier(4096, "c2c") == "four_step"
-        assert vfft._fft_tier(65537, "c2c") == "xla"
+        # prime 65537 <= the Bluestein cap: chirp-Z on the pow2 tiers
+        # (measured v5e: 1.5x the HLO at 4099, 3.8x at 8191)
+        assert vfft._fft_tier(65537, "c2c") == "bluestein"
+        assert vfft._fft_tier((1 << 20) + 7, "c2c") == "xla"
         # prime r2c in (2048, 4096]: no factorization, but dense still
         # beats the HLO — must NOT regress to xla
         assert vfft._fft_tier(4093, "r2c") == "dense"
@@ -147,3 +150,30 @@ def test_four_step_batched_matches_single(rng, matmul_backend):
     for i in range(4):
         single = np.asarray(vfft.fft(jnp.asarray(x[i])))
         np.testing.assert_array_equal(batched[i], single)
+
+
+@pytest.mark.parametrize("n", [4099, 5003, 8191, 9973])
+def test_bluestein_prime_sizes(rng, matmul_backend, n):
+    """Prime/unfactorable n > the dense cap runs the chirp-Z (Bluestein)
+    tier — every-N coverage at fast-tier speed (the reference falls back to
+    a naive O(N^2) DFT, src/spectral/fft_kiss.c:76-92). Parity within the
+    py-fft 5e-5 contract for c2c/ifft/r2c/c2r."""
+    # exercise the bluestein path DIRECTLY (the matmul test backend keeps
+    # n <= 8192 dense, so dispatch-level coverage lives at n=9973 +
+    # test_four_step_factors' tier assertions)
+    x = (rng.standard_normal((2, n)) + 1j * rng.standard_normal((2, n))
+         ).astype(np.complex64)
+    want = np.fft.fft(x.astype(np.complex128))
+    got = np.asarray(vfft._bluestein_fft(jnp.asarray(x), n, inverse=False))
+    assert np.abs(got - want).max() / np.abs(want).max() < 5e-5
+    wi = np.fft.ifft(x.astype(np.complex128))
+    gi = np.asarray(vfft._bluestein_fft(jnp.asarray(x), n, inverse=True))
+    assert np.abs(gi - wi).max() / max(1e-9, np.abs(wi).max()) < 5e-5
+    if vfft._fft_tier(n, "c2c") == "bluestein":  # dispatch-level r2c/c2r
+        xr = rng.standard_normal((2, n)).astype(np.float32)
+        wr = np.fft.rfft(xr.astype(np.float64))
+        gr = np.asarray(vfft.rfft(jnp.asarray(xr)))
+        assert np.abs(gr - wr).max() / np.abs(wr).max() < 5e-5
+        gir = np.asarray(vfft.irfft(jnp.asarray(wr.astype(np.complex64)),
+                                    n))
+        assert np.abs(gir - xr).max() < 5e-5 * max(1.0, np.abs(xr).max())

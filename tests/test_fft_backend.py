@@ -82,3 +82,73 @@ def test_backend_introspection_and_cache_flush(rng):
         np.testing.assert_allclose(a, b, rtol=0, atol=0)
     finally:
         vfft.set_fft_backend("auto")
+
+
+@pytest.mark.parametrize("backend", ["matmul", "xla"])
+def test_universal_dispatch_consumers_honor_backend(rng, backend):
+    """Every transform consumer routes through ops.fft — the reference's
+    single plan vtable (src/spectral/fft.c:95-124): CZT (czt.c:140-154),
+    Hilbert (hilbert.c:28-33), cepstrum (cepstrum.c:20-35), min-phase,
+    FFT-domain DCT and FFT FIR apply must produce backend-independent
+    results AND actually honor set_fft_backend (no jnp.fft bypass)."""
+    import jax
+    from vv_dsp_tpu.ops import czt as vczt
+    from vv_dsp_tpu.ops import hilbert as vhil
+    from vv_dsp_tpu.ops import envelope as venv
+    from vv_dsp_tpu.ops import dct as vdct
+    from vv_dsp_tpu.ops import fir as vfir
+
+    n = 256
+    x = rng.standard_normal((2, n)).astype(np.float32)
+    xj = jnp.asarray(x)
+    h = vfir.design_lowpass_np(31, 0.3).astype(np.float32)
+
+    surfaces = {
+        "czt": lambda: np.asarray(
+            jnp.stack([jnp.real(r), jnp.imag(r)])
+            if jnp.iscomplexobj(r := vczt.czt(
+                xj, n, np.exp(-2j * np.pi / n), 1.0 + 0j)) else r),
+        "hilbert": lambda: np.asarray(jnp.abs(vhil.hilbert_analytic(xj))),
+        "cepstrum": lambda: np.asarray(venv.cepstrum_real(xj)),
+        "minphase": lambda: np.asarray(
+            venv.icepstrum_minphase(venv.cepstrum_real(xj))),
+        "dct_fft": lambda: np.asarray(vdct.dct(xj, type=2)),
+        "fir_fft": lambda: np.asarray(vfir.fir_apply_fft(jnp.asarray(h), xj)),
+    }
+    try:
+        F.set_fft_backend("auto")
+        ref = {k: fn() for k, fn in surfaces.items()}
+        F.set_fft_backend(backend)
+        for k, fn in surfaces.items():
+            got = fn()
+            scale = max(1.0, np.abs(ref[k]).max())
+            assert np.abs(got - ref[k]).max() / scale < 5e-5, (k, backend)
+    finally:
+        F.set_fft_backend("auto")
+
+
+def test_no_jnp_fft_outside_dispatch():
+    """Source-level guard for the universal dispatch: jnp.fft appears only
+    inside ops/fft.py (the dispatch itself).  Mirrors the reference where
+    no consumer calls a backend directly."""
+    import os
+    import vv_dsp_tpu
+
+    pkg = os.path.dirname(vv_dsp_tpu.__file__)
+    offenders = []
+    for root, _, files in os.walk(pkg):
+        for fn in files:
+            if not fn.endswith(".py"):
+                continue
+            path = os.path.join(root, fn)
+            rel = os.path.relpath(path, pkg)
+            if rel == os.path.join("ops", "fft.py"):
+                continue
+            with open(path) as f:
+                for i, line in enumerate(f, 1):
+                    code = line.split("#", 1)[0]
+                    if "jnp.fft" in code and '"""' not in line \
+                            and "jnp.fft" not in line.split('"""')[-1:][0] \
+                            or False:
+                        offenders.append(f"{rel}:{i}")
+    assert not offenders, offenders

@@ -54,6 +54,38 @@ def get_matmul_precision():
     return MATMUL_PRECISION
 
 
+def clear_all_caches(include_jit: bool = False) -> int:
+    """Drop every host-side constant cache in the package — the single
+    serving-process memory story (the reference bounds its one plan cache
+    to a 64-bucket LRU, src/spectral/fft_fftw.c:52-56; here EVERY cache is
+    a bounded functools.lru_cache, but a long-running server mixing many
+    geometries can still hold up to the sum of the caps — worst case a few
+    hundred MB with many distinct large-n FFT bases).
+
+    Walks every loaded vv_dsp_tpu module and clears each lru_cache (twiddle
+    tables, DFT bases, windows, filterbanks, chirps, band matrices, SOS
+    constants, OLA norms, ...).  Returns the number of caches cleared.
+    include_jit=True additionally drops jax's compiled-executable cache
+    (jax.clear_caches()) — compiled programs are the other long-lived
+    per-geometry allocation, owned by jax, and re-compile on next use.
+    """
+    import sys
+
+    cleared = 0
+    for name, mod in list(sys.modules.items()):
+        if mod is None or not name.startswith("vv_dsp_tpu"):
+            continue
+        for attr in list(vars(mod).values()):
+            if callable(getattr(attr, "cache_clear", None)) and hasattr(
+                    attr, "cache_info"):
+                attr.cache_clear()
+                cleared += 1
+    if include_jit:
+        import jax
+        jax.clear_caches()
+    return cleared
+
+
 import contextlib as _contextlib
 
 

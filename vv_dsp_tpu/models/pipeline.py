@@ -157,6 +157,11 @@ class SpectralGate:
     def __call__(self, x):
         """x: (channels, n) -> (channels, n) denoised."""
         x = _promote_audio(x)
+        if x.ndim != 2 and not jnp.iscomplexobj(x):
+            # rank-oblivious: fold leading axes so the fused kernel applies
+            from vv_dsp_tpu.utils.shapes import collapse_leading
+            x2, restore = collapse_leading(x)
+            return restore(self(x2), 1)
         n = x.shape[-1]
         pad = self._edge_pad
         xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(pad, pad)])

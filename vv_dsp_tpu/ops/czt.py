@@ -23,6 +23,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from vv_dsp_tpu import config
+from vv_dsp_tpu.ops import fft as _fft
 from vv_dsp_tpu.ops.fft import next_pow2
 
 
@@ -39,6 +40,27 @@ def czt_params_for_freq_range(f_start: float, f_end: float, m: int, fs: float):
 
 
 @functools.lru_cache(maxsize=64)
+def next_fast_len(target: int) -> int:
+    """Smallest 5-smooth (2^a 3^b 5^c) length >= target — the chirp
+    convolution length.  5-smooth sizes stay on the fast tiers (four-step
+    factors them near-square; CPU pocketfft likes them too) and pad far
+    less than next_pow2: e.g. target 8197 -> 8640 instead of 16384, which
+    flipped Bluestein-at-4099 from 0.7x to >1x vs the XLA HLO."""
+    best = next_pow2(target)
+    f5 = 1
+    while f5 < best:
+        f35 = f5
+        while f35 < best:
+            # smallest power of two lifting f35 over target
+            q = f35
+            while q < target:
+                q *= 2
+            best = min(best, q)
+            f35 *= 3
+        f5 *= 5
+    return best
+
+
 def _czt_tables(n: int, m: int, w: complex, a: complex):
     """Host-side f64 chirp constants for a (N, M, W, A) plan."""
     arg_w = np.angle(complex(w))
@@ -50,7 +72,7 @@ def _czt_tables(n: int, m: int, w: complex, a: complex):
     nn = np.arange(n, dtype=np.float64)
     g = (complex(a) ** (-nn)) * w_pow(0.5 * nn * nn)  # g[n] = A^-n W^{n^2/2}
 
-    p = next_pow2(n + m - 1)
+    p = next_fast_len(n + m - 1)
     i = np.arange(n + m - 1, dtype=np.float64)
     b = np.zeros(p, dtype=np.complex128)
     mm = i - (n - 1)
@@ -79,8 +101,13 @@ def czt(x, m: int, w: complex, a: complex = 1.0 + 0.0j):
     chirp = jnp.asarray(chirp_np, dtype=cdt)
 
     ax = x.astype(cdt) * g
-    a_fft = jnp.fft.fft(ax, n=p)
-    c = jnp.fft.ifft(a_fft * b_fft)
+    # universal FFT dispatch: the reference's CZT executes its FFTs through
+    # the one plan vtable (src/spectral/czt.c:140-154); ops.fft gives the
+    # matmul/four-step tiers + set_fft_backend.  (An r2c route would not
+    # help even for real x: the chirp premultiply makes `ax` complex, and
+    # splitting FFT(x*g_re) + j*FFT(x*g_im) costs two r2c = one c2c.)
+    a_fft = _fft.fft(ax, n=p)
+    c = _fft.ifft(a_fft * b_fft)
     return c[..., n - 1 : n - 1 + m] * chirp
 
 

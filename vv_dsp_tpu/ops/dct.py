@@ -29,6 +29,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from vv_dsp_tpu import config
+from vv_dsp_tpu.ops import fft as _fft
 from vv_dsp_tpu.utils.nan_policy import NanPolicy, apply_nan_policy
 
 # Above this size (power of two only) DCT-II/III go through rFFT instead of a
@@ -65,7 +66,7 @@ def _dct2_fft(x):
     """DCT-II via the even-reordering rFFT identity (Makhoul 1980)."""
     n = x.shape[-1]
     v = jnp.concatenate([x[..., ::2], x[..., 1::2][..., ::-1]], axis=-1)
-    spec = jnp.fft.rfft(v)
+    spec = _fft.rfft(v)
     k = np.arange(n // 2 + 1, dtype=np.float64)
     tw = jnp.asarray(np.exp(-1j * np.pi * k / (2.0 * n)), dtype=spec.dtype)
     half = spec * tw
@@ -103,7 +104,7 @@ def _idct2_fft(X):
     if n % 2 == 0:
         # Nyquist: only Re survived packing; spec must be real = X[h]*sqrt(2)
         spec = spec.at[..., h].set(head[..., h].astype(cd) * np.sqrt(2.0))
-    v = jnp.fft.irfft(spec, n)
+    v = _fft.irfft(spec, n)
     ne = (n + 1) // 2
     out = jnp.zeros_like(v)
     out = out.at[..., ::2].set(v[..., :ne])

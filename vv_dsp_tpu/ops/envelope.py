@@ -25,13 +25,16 @@ import numpy as np
 import jax.numpy as jnp
 
 from vv_dsp_tpu import config
+from vv_dsp_tpu.ops import fft as _fft
 
 
 def cepstrum_real(x):
     """Real cepstrum of (..., n) (vv_dsp_cepstrum_real)."""
-    spec = jnp.fft.fft(x.astype(config.complex_for_real(x.dtype)))
+    # universal FFT dispatch (ops.fft), matching the reference's single
+    # plan vtable (src/envelope/cepstrum.c:20-35 -> src/spectral/fft.c)
+    spec = _fft.fft(x.astype(config.complex_for_real(x.dtype)))
     logmag = jnp.log(jnp.abs(spec) + 1e-12)
-    return jnp.fft.ifft(logmag.astype(spec.dtype)).real
+    return _fft.ifft(logmag.astype(spec.dtype)).real
 
 
 def _causal_cepstrum_window(c):
@@ -54,7 +57,7 @@ def minphase_spectrum_from_cepstrum(c, full_complex: bool = False):
     mathematically complete min-phase spectrum exp(H).
     """
     cw = _causal_cepstrum_window(c)
-    H = jnp.fft.fft(cw.astype(config.complex_for_real(c.dtype)))
+    H = _fft.fft(cw.astype(config.complex_for_real(c.dtype)))
     if full_complex:
         return jnp.exp(H)
     return jnp.exp(H.real).astype(H.dtype)
@@ -64,7 +67,7 @@ def icepstrum_minphase(c, full_complex: bool = False):
     """Min-phase time signal from a real cepstrum
     (vv_dsp_icepstrum_minphase, cepstrum.c:41-78)."""
     spec = minphase_spectrum_from_cepstrum(c, full_complex)
-    return jnp.fft.ifft(spec).real
+    return _fft.ifft(spec).real
 
 
 def autocorr(x, order: int):

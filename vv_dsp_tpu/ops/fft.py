@@ -61,6 +61,7 @@ _BACKENDS = ("auto", "xla", "matmul")
 # _FOUR_STEP_MAX_FACTOR^2 points per transform.
 _FOUR_STEP_MAX_FACTOR = 4096
 _FOUR_STEP_MAX_N = 1 << 24
+_BLUESTEIN_MAX_N = 1 << 20
 
 
 def set_fft_backend(name: str) -> None:
@@ -133,7 +134,30 @@ def _fft_tier(n: int, kind: str) -> str:
     # explicit matmul backend keeps the dense form as far as memory allows
     if _BACKEND == "matmul" and n <= 8192:
         return "dense"
+    # prime / too-lopsided n: Bluestein re-route onto the pow2 fast tiers
+    # (the reference covers every N with a naive O(N^2) DFT fallback,
+    # src/spectral/fft_kiss.c:76-92; here the chirp-Z identity runs the
+    # transform as pointwise chirp products + pow2 FFTs at next_pow2(2n-1),
+    # which land back on the four-step/dense tiers).  Measured v5e
+    # (16ch x ~1900 rows): c2c/r2c 1.5x over the XLA HLO at n=4099 and
+    # 3.8-3.9x at n=8191 (with the 5-smooth chirp length; at pow2 chirp
+    # lengths 4099 lost 0.7x — czt.next_fast_len).
+    if n <= _BLUESTEIN_MAX_N:
+        return "bluestein"
     return "xla"
+
+
+def _bluestein_fft(x, n: int, inverse: bool):
+    """c2c DFT of unfactorable length n via the chirp-Z transform at
+    m = n, W = e^{-2*pi*i/n}, A = 1 (DFT-equivalent CZT); the inverse uses
+    IDFT(x) = conj(DFT(conj(x)))/n."""
+    from vv_dsp_tpu.ops import czt as _czt
+
+    w = complex(math.cos(2.0 * math.pi / n), -math.sin(2.0 * math.pi / n))
+    if inverse:
+        y = _czt.czt(jnp.conj(x), n, w, 1.0 + 0.0j)
+        return jnp.conj(y) / n
+    return _czt.czt(x, n, w, 1.0 + 0.0j)
 
 
 def _use_matmul(n: int, kind: str = "r2c") -> bool:
@@ -367,8 +391,12 @@ def fft(x, n: int | None = None, axis: int = -1):
     tier = _fft_tier(n, "c2c")
     if tier != "xla":
         x = jnp.moveaxis(x, axis, -1)
-        y = (_matmul_fft(x, n, inverse=False) if tier == "dense"
-             else _four_step_fft(x, n, inverse=False))
+        if tier == "dense":
+            y = _matmul_fft(x, n, inverse=False)
+        elif tier == "bluestein":
+            y = _bluestein_fft(x, n, inverse=False)
+        else:
+            y = _four_step_fft(x, n, inverse=False)
         return jnp.moveaxis(y, -1, axis)
     return jnp.fft.fft(x, axis=axis)
 
@@ -379,8 +407,12 @@ def ifft(x, n: int | None = None, axis: int = -1):
     tier = _fft_tier(n, "c2c")
     if tier != "xla":
         x = jnp.moveaxis(x, axis, -1)
-        y = (_matmul_fft(x, n, inverse=True) if tier == "dense"
-             else _four_step_fft(x, n, inverse=True))
+        if tier == "dense":
+            y = _matmul_fft(x, n, inverse=True)
+        elif tier == "bluestein":
+            y = _bluestein_fft(x, n, inverse=True)
+        else:
+            y = _four_step_fft(x, n, inverse=True)
         return jnp.moveaxis(y, -1, axis)
     return jnp.fft.ifft(x, axis=axis)
 
@@ -398,6 +430,9 @@ def rfft(x, n: int | None = None, axis: int = -1):
         x = jnp.moveaxis(x, axis, -1)
         if tier == "dense":
             y = _matmul_rfft(x, n)
+        elif tier == "bluestein":
+            y = _bluestein_fft(x.astype(config.complex_for_real(x.dtype)), n,
+                               inverse=False)[..., : n // 2 + 1]
         else:
             re, im = _four_step_rfft_parts(x, n)
             y = jax.lax.complex(re, im)
@@ -418,6 +453,11 @@ def rfft_power(x, n: int | None = None, axis: int = -1):
     tier = _fft_tier(n, "r2c")
     if tier != "xla":
         x = jnp.moveaxis(x, axis, -1)
+        if tier == "bluestein":
+            y = _bluestein_fft(x.astype(config.complex_for_real(x.dtype)), n,
+                               inverse=False)[..., : n // 2 + 1]
+            return jnp.moveaxis(jnp.real(y) ** 2 + jnp.imag(y) ** 2,
+                                -1, axis)
         re, im = (_matmul_rfft_parts(x, n) if tier == "dense"
                   else _four_step_rfft_parts(x, n))
         return jnp.moveaxis(re * re + im * im, -1, axis)
@@ -433,8 +473,13 @@ def irfft(x, n: int, axis: int = -1):
     if tier != "xla":
         x = jnp.moveaxis(x, axis, -1)
         x, _ = _pad_or_trim(x, n // 2 + 1, -1)
-        y = (_matmul_irfft(x, n) if tier == "dense"
-             else _four_step_irfft(x, n))
+        if tier == "bluestein":
+            y = jnp.real(_bluestein_fft(hermitian_expand(x, n), n,
+                                        inverse=True))
+        elif tier == "dense":
+            y = _matmul_irfft(x, n)
+        else:
+            y = _four_step_irfft(x, n)
         return jnp.moveaxis(y, -1, axis)
     return jnp.fft.irfft(x, n=n, axis=axis)
 

@@ -97,7 +97,7 @@ def fir_apply_fft(h, x):
     n = x.shape[-1]
     taps = h.shape[-1]
     nfft = next_pow2(n + taps - 1)
-    y = jnp.fft.irfft(jnp.fft.rfft(x, nfft) * jnp.fft.rfft(h, nfft), nfft)
+    y = _fftmod.irfft(_fftmod.rfft(x, nfft) * _fftmod.rfft(h, nfft), nfft)
     return y[..., :n]
 
 

@@ -18,6 +18,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from vv_dsp_tpu import config
+from vv_dsp_tpu.ops import fft as _fft
 
 
 def _analytic_mask(n: int) -> np.ndarray:
@@ -35,8 +36,11 @@ def hilbert_analytic(x):
     """Analytic signal z = x + j*H[x] of (..., n) real -> complex."""
     n = x.shape[-1]
     mask = jnp.asarray(_analytic_mask(n), dtype=x.dtype)
-    spec = jnp.fft.fft(x.astype(config.complex_for_real(x.dtype)))
-    return jnp.fft.ifft(spec * mask)
+    # through the universal dispatch (ops.fft) like every transform
+    # consumer in the reference goes through the one plan vtable
+    # (src/spectral/fft.c:95-124): honors set_fft_backend + fast tiers
+    spec = _fft.fft(x.astype(config.complex_for_real(x.dtype)))
+    return _fft.ifft(spec * mask)
 
 
 def instantaneous_phase(z):

@@ -193,6 +193,12 @@ def mel_energies_stft(x, nfft: int, hop: int, n_mels: int,
     from vv_dsp_tpu.ops.stft import STFT
     from vv_dsp_tpu.utils.kernel_grad import kernel_with_xla_vjp
 
+    if x.ndim != 2 and not jnp.iscomplexobj(x):
+        from vv_dsp_tpu.utils.shapes import collapse_leading
+        x2, restore = collapse_leading(x)
+        return restore(mel_energies_stft(x2, nfft, hop, n_mels, sample_rate,
+                                         window, window_param, fmin, fmax,
+                                         variant, algorithm), 2)
     plan = STFT(nfft, hop, window, window_param)
     if (x.ndim == 2 and not jnp.iscomplexobj(x)
             and (_pf.stft_mel_supported(nfft, hop)
@@ -235,6 +241,13 @@ def mfcc_stft(x, nfft: int, hop: int, n_mels: int, n_coeffs: int,
     from vv_dsp_tpu.ops.stft import STFT
     from vv_dsp_tpu.utils.kernel_grad import kernel_with_xla_vjp
 
+    if x.ndim != 2 and not jnp.iscomplexobj(x):
+        from vv_dsp_tpu.utils.shapes import collapse_leading
+        x2, restore = collapse_leading(x)
+        return restore(mfcc_stft(x2, nfft, hop, n_mels, n_coeffs,
+                                 sample_rate, window, window_param, fmin,
+                                 fmax, log_epsilon, lifter, variant,
+                                 algorithm), 2)
     if (x.ndim == 2 and not jnp.iscomplexobj(x)
             and (_pf.stft_mel_supported(nfft, hop)
                  or _pf.stft_mel_packed_supported(nfft, hop))

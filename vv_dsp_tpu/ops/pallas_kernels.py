@@ -448,6 +448,10 @@ def fir_apply_best(h, x):
     from vv_dsp_tpu.ops import fir as _fir
     from vv_dsp_tpu.utils.kernel_grad import kernel_with_xla_vjp
     taps = jnp.shape(h)[-1]
+    if _on_tpu() and x.ndim != 2:
+        from vv_dsp_tpu.utils.shapes import collapse_leading
+        x2, restore = collapse_leading(x)
+        return restore(fir_apply_best(h, x2), 1)
     if _on_tpu():
         if x.ndim == 2 and taps <= 16:
             # backward differentiates the XLA direct form (incl. d/dh)
@@ -487,6 +491,10 @@ def resample_poly_best(x, up: int, down: int):
     up_r, down_r = up // g, down // g
     if up_r == 1 and down_r == 1:
         return x
+    if _on_tpu() and x.ndim != 2:
+        from vv_dsp_tpu.utils.shapes import collapse_leading
+        x2, restore = collapse_leading(x)
+        return restore(resample_poly_best(x2, up, down), 1)
     if _on_tpu() and x.ndim == 2 and up_r < 32:
         # banded-matmul kernel: 3.4 ms vs 6.9 (per-phase Pallas) / 12.1
         # (frames-matmul) for 4/3 at 16ch x 479k (ops/pallas_upfirdn.py);

@@ -421,6 +421,11 @@ def fir_resample_fused(h_fir, x, up: int, down: int,
     (ops.pallas_upfirdn._resolve_algorithm).
     """
     x = config.as_compute(x)
+    if x.ndim != 2:
+        from vv_dsp_tpu.utils.shapes import collapse_leading
+        x2, restore = collapse_leading(x)
+        return restore(fir_resample_fused(h_fir, x2, up, down, group,
+                                          algorithm), 1)
     g = math.gcd(up, down)
     up //= g
     down //= g
@@ -593,7 +598,11 @@ def resample_multistage(x, up: int, down: int, use_pallas: bool | None = None):
     n_out_target = -(-n_in * up // down)
     if use_pallas is None:
         import jax
-        use_pallas = jax.default_backend() == "tpu" and x.ndim == 2
+        use_pallas = jax.default_backend() == "tpu"
+        if use_pallas and x.ndim != 2:
+            from vv_dsp_tpu.utils.shapes import collapse_leading
+            x2, restore = collapse_leading(x)
+            return restore(resample_multistage(x2, up, down), 1)
     for u, d in _factor_stages(up, down):
         if use_pallas:
             from vv_dsp_tpu.ops import pallas_kernels as _pk

@@ -79,6 +79,11 @@ class STFT:
         vv_dsp_stft_spectrogram's tail handling (src/spectral/stft.c:124-137).
         """
         x = config.as_compute(x)
+        if x.ndim != 2 and not jnp.iscomplexobj(x):
+            # rank-oblivious fast path: fold leading axes into channels
+            from vv_dsp_tpu.utils.shapes import collapse_leading
+            x2, restore = collapse_leading(x)
+            return restore(self.process(x2, rfft), 2)
         n = x.shape[-1]
         nf = self.num_frames(n)
         if x.ndim == 2 and not jnp.iscomplexobj(x) and self.nfft >= 512:
@@ -122,6 +127,10 @@ class STFT:
         spectrum never hits HBM (ops.fft.rfft_power): (..., n) ->
         (..., frames, nfft//2+1). The fast input to mel/MFCC."""
         x = config.as_compute(x)
+        if x.ndim != 2 and not jnp.iscomplexobj(x):
+            from vv_dsp_tpu.utils.shapes import collapse_leading
+            x2, restore = collapse_leading(x)
+            return restore(self.power(x2), 2)
         n = x.shape[-1]
         nf = self.num_frames(n)
         if x.ndim == 2 and not jnp.iscomplexobj(x):
@@ -210,6 +219,11 @@ class STFT:
         dump_stft_roundtrip's per-sample y = recon/norm with norm > 1e-12
         guard (tools/dump_stft_roundtrip.c:50-54).
         """
+        if spec.ndim > 3 and self.nfft >= 2048:
+            lead = spec.shape[:-2]
+            out = self.reconstruct(
+                spec.reshape((-1,) + spec.shape[-2:]), output_len, rfft)
+            return out.reshape(lead + out.shape[-1:])
         if spec.ndim == 3 and self.nfft >= 2048:
             # like process(): below 2048 the dense c2r matmul + strided OLA
             # wins (the kernel pays permute/transpose passes over the

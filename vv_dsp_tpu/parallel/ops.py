@@ -33,6 +33,8 @@ import math
 import numpy as np
 import jax
 import jax.numpy as jnp
+
+from vv_dsp_tpu.ops import fft as _offt
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -196,8 +198,8 @@ def stft_process_sharded(x, nfft: int, hop: int, mesh: Mesh,
             frames = jnp.take(ext, idx, axis=-1)
         frames = frames * w
         if rfft:
-            return jnp.fft.rfft(frames)
-        return jnp.fft.fft(frames)
+            return _offt.rfft(frames)
+        return _offt.fft(frames)
 
     return run(x, win)
 
@@ -226,9 +228,9 @@ def stft_reconstruct_sharded(spec, nfft: int, hop: int, mesh: Mesh,
         out_specs=P(channel_axis, block_axis))
     def run(sb, w):
         if rfft:
-            time = jnp.fft.irfft(sb, nfft)
+            time = _offt.irfft(sb, nfft)
         else:
-            time = jnp.fft.ifft(sb).real
+            time = _offt.ifft(sb).real
         w = w.astype(time.dtype)
         nf_local = sb.shape[-2]
         t_local = nf_local * hop

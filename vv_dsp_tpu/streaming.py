@@ -29,6 +29,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from vv_dsp_tpu.ops import fft as _offt
+
 from vv_dsp_tpu import config
 
 from vv_dsp_tpu.ops import fir as _fir
@@ -186,7 +188,7 @@ class StftStream:
         i.e. analysis runs with nfft-hop latency relative to block arrival —
         the same frames the offline STFT emits, in order, no frame skipped."""
         frames, new_state = self.frames(state, block)
-        spec = jnp.fft.rfft(frames) if rfft else jnp.fft.fft(frames)
+        spec = _offt.rfft(frames) if rfft else _offt.fft(frames)
         return spec, new_state
 
     def synthesis_init(self, batch_shape=(), dtype=jnp.float32):
@@ -200,9 +202,9 @@ class StftStream:
         reference's 1e-12 guard (tools/dump_stft_roundtrip.c:50-54)."""
         acc, norm_acc = state
         if rfft:
-            time = jnp.fft.irfft(spec, self.nfft)
+            time = _offt.irfft(spec, self.nfft)
         else:
-            time = jnp.fft.ifft(spec).real
+            time = _offt.ifft(spec).real
         win = get_window(self.window, self.nfft, dtype=time.dtype)
         k = spec.shape[-2]
         out_len = k * self.hop

@@ -31,6 +31,8 @@ def main(argv=None) -> int:
     infile = args.get("infile")
     _cli.force_cpu()
     import jax.numpy as jnp
+
+    from vv_dsp_tpu.ops import fft as _offt
     from vv_dsp_tpu.ops import framing
     from vv_dsp_tpu.ops.window import get_window
 
@@ -41,8 +43,8 @@ def main(argv=None) -> int:
     nf = 0 if n < nfft else (n - nfft) // hop + 1  # f*hop+fft <= n
     idx = (jnp.arange(nf)[:, None] * hop + jnp.arange(nfft)[None, :])
     frames = jnp.take(sig, idx, axis=-1) * w
-    spec = jnp.fft.fft(frames)  # fwd C2C like the reference STFT
-    time = jnp.fft.ifft(spec).real * w
+    spec = _offt.fft(frames)  # fwd C2C like the reference STFT
+    time = _offt.ifft(spec).real * w
     recon = framing.overlap_add(time, hop, n)
     norm = framing.overlap_add(jnp.broadcast_to(w * w, (nf, nfft)), hop, n)
     y = jnp.where(norm > 1e-12, recon / jnp.where(norm > 1e-12, norm, 1.0), 0.0)
