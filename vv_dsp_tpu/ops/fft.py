@@ -57,11 +57,21 @@ _TWO_PI = 6.283185307179586476925286766559
 _BACKEND = "auto"
 _MATMUL_MAX_N = 4096
 _BACKENDS = ("auto", "xla", "matmul")
-# Largest dense-basis factor the four-step tier will use; caps coverage at
-# _FOUR_STEP_MAX_FACTOR^2 points per transform.
+# Largest dense-basis factor the four-step tier will use.
 _FOUR_STEP_MAX_FACTOR = 4096
-_FOUR_STEP_MAX_N = 1 << 24
-_BLUESTEIN_MAX_N = 1 << 20
+# Four-step cost grows as n*(n1+n2) ~ n^1.5 vs the HLO's n log n: honest
+# round-3 chained timing (16ch, best-of-3) has the four-step tying/winning
+# the HLO through n = 262144 (0.86-1.43x) and losing decisively above
+# (0.43x at 479232, 0.55x at 2^20) — round 2's "keeps winning above"
+# extrapolated from n=4096 with the flawed harness and cost the routed
+# full-signal Hilbert 3.5x until this cap.
+_FOUR_STEP_MAX_N = 1 << 18
+# Bluestein only while its 5-smooth chirp length p ~ 2n stays on the
+# four-step/dense tiers (p <= _FOUR_STEP_MAX_N); beyond that the chirp's
+# own FFT would fall back to the HLO (or, before this guard, recurse
+# into another Bluestein and build multi-million-point chirp tables —
+# which crashed the TPU worker on a 479k-point Hilbert).
+_BLUESTEIN_MAX_N = 1 << 17
 
 
 def set_fft_backend(name: str) -> None:
@@ -113,11 +123,10 @@ def _fft_tier(n: int, kind: str) -> str:
     """Kernel tier for an n-point transform: 'dense' (one matmul vs the full
     DFT basis), 'four_step' (factorized matmul DFT), or 'xla' (FFT HLO).
 
-    Measured v5e crossovers (round-2 chained timing, full-output
-    consumption): dense wins up to 2048 for every kind (at 2048 r2c the
-    dense pair beats four-step 7.9 vs 9.1 ms); at 4096 the factorized form
-    wins decisively (13.5 -> 8.3 ms on the 4096-pt STFT sweep frame batch)
-    and keeps winning above, up to its factor cap.
+    Measured v5e crossovers (round-3 honest chained timing): dense wins
+    up to 2048 for every kind; the four-step factorized form ties/wins the
+    FFT HLO from 4096 through 262144 and loses above (see
+    _FOUR_STEP_MAX_N); prime sizes ride the Bluestein chirp (see below).
     """
     if _BACKEND == "xla":
         return "xla"

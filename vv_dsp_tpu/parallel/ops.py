@@ -184,12 +184,37 @@ def stft_process_sharded(x, nfft: int, hop: int, mesh: Mesh,
     @functools.partial(
         jax.shard_map, mesh=mesh,
         in_specs=(P(channel_axis, block_axis), P()),
-        out_specs=P(channel_axis, block_axis, None))
+        out_specs=P(channel_axis, block_axis, None),
+        # pallas_call emits ShapeDtypeStructs without vma annotations; the
+        # specs above already pin the sharding of every output
+        check_vma=False)
     def run(xb, w):
         right = _halo.halo_from_right(xb, overlap, block_axis)
         ext = jnp.concatenate([xb, right], axis=-1)
         t_local = xb.shape[-1]
         nf_local = t_local // hop
+        # per-shard fast tier: the same Stockham kernel the single-chip
+        # path uses (Pallas composes with shard_map; frames 0..nf_local-1
+        # read exactly ext's t_local + overlap real samples, the kernel's
+        # zero-padded tail frames beyond that are sliced off).  Measured
+        # 1-device-mesh v5e at 2048/512: 2.3x the framed-matmul body
+        # (benchmarks/sharded_stft_profile.json).
+        import jax as _jax
+        from vv_dsp_tpu.ops import pallas_fft as _pf
+        if (ext.ndim == 2 and not jnp.iscomplexobj(ext)
+                and _pf.stft_mel_supported(nfft, hop)
+                and _jax.default_backend() == "tpu"):
+            from vv_dsp_tpu.utils.kernel_grad import kernel_with_xla_vjp
+
+            def fast(ev):
+                return _pf.stft_spectrum_stockham(
+                    ev, nfft, hop, window, onesided=rfft)[:, :nf_local, :]
+
+            def ref(ev):
+                fr = _framing.frames_strided(ev, nfft, hop, nf_local) * w
+                return _offt.rfft(fr) if rfft else _offt.fft(fr)
+
+            return kernel_with_xla_vjp(fast, ref)(ext)
         if nfft % hop == 0:
             frames = _framing.frames_strided(ext, nfft, hop, nf_local)
         else:
