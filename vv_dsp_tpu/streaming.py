@@ -230,8 +230,11 @@ class StftStream:
 
 @functools.lru_cache(maxsize=32)
 def _poly_stream_tables(up: int, down: int, b: int, dtype_name: str):
-    """Device-resident gather indices and phase weights for one block
-    geometry of ResamplePolyStream.process."""
+    """HOST-side (numpy) gather indices and phase weights for one block
+    geometry of ResamplePolyStream.process — cached as numpy and converted
+    at the use site: caching jnp arrays here leaks a trace-constant when
+    the first call happens under jit (UnexpectedTracerError on the second
+    trace; the library-wide rule from models/pipeline.fir_coeffs)."""
     h = _resample._resample_poly_filter(up, down)
     half_len = (len(h) - 1) // 2
     h_pad = np.zeros((-(-len(h) // up)) * up)
@@ -244,8 +247,8 @@ def _poly_stream_tables(up: int, down: int, b: int, dtype_name: str):
     anchor = t_loc // up
     phase = t_loc % up
     idx = anchor[:, None] - np.arange(taps_pp)[None, :] + taps_pp - 1
-    return (jnp.asarray(idx, dtype=jnp.int32),
-            jnp.asarray(hpp[phase].astype(np.dtype(dtype_name))))
+    return (np.ascontiguousarray(idx.astype(np.int32)),
+            np.ascontiguousarray(hpp[phase].astype(np.dtype(dtype_name))))
 
 
 @dataclasses.dataclass(frozen=True)
@@ -316,7 +319,9 @@ class ResamplePolyStream:
         # so the filter's future span (delay_in) is already in the buffer.
         # Tables depend only on (up, down, b): cached so the eager block loop
         # doesn't rebuild/re-upload them every call.
-        idx, w = _poly_stream_tables(self.up, self.down, b, str(block.dtype))
+        idx_np, w_np = _poly_stream_tables(self.up, self.down, b,
+                                           str(block.dtype))
+        idx, w = jnp.asarray(idx_np), jnp.asarray(w_np)
         gathered = jnp.take(ext, idx, axis=-1)
         y = jnp.einsum("...ot,ot->...o", gathered, w,
                        precision=config.MATMUL_PRECISION)
