@@ -276,3 +276,43 @@ def test_kernel_vjp_machinery(rng):
     g_ref = jax.grad(lambda v: jnp.sum(ref(v)))(x)
     np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
                                rtol=0, atol=0)
+
+
+@pytest.mark.parametrize("nfft,hop", [(2048, 512), (1024, 256), (256, 16),
+                                      (4096, 1024), (512, 512)])
+def test_stft_spectrum_packed_matches_oracle(rng, nfft, hop):
+    """Packed-real spectrum kernel (m = nfft/2 complex FFT + paired-row
+    Hermitian unpack incl. the Nyquist row) vs a float64 framed-FFT
+    oracle, two-sided and one-sided."""
+    from vv_dsp_tpu.ops.window import get_window_np
+
+    n = nfft * 4 + hop * 3
+    x = jnp.asarray(rng.standard_normal((2, n)), dtype=jnp.float32)
+    got = np.asarray(pf.stft_spectrum_packed(x, nfft, hop, interpret=True))
+    w = get_window_np("hann", nfft, None)
+    nf = 1 + (n - nfft + hop) // hop
+    xp = np.pad(np.asarray(x, np.float64),
+                ((0, 0), (0, (nf - 1) * hop + nfft - n)))
+    frames = np.stack([xp[:, i * hop:i * hop + nfft] for i in range(nf)], 1)
+    want = np.fft.fft(frames * w, axis=-1)
+    scale = np.abs(want).max()
+    assert np.abs(got - want).max() / scale < 5e-5
+    g1 = np.asarray(pf.stft_spectrum_packed(x, nfft, hop, onesided=True,
+                                            interpret=True))
+    assert np.abs(g1 - want[..., : nfft // 2 + 1]).max() / scale < 5e-5
+
+
+@pytest.mark.parametrize("nfft,hop", [(2048, 512), (512, 128)])
+def test_stft_power_packed_matches_oracle(rng, nfft, hop):
+    from vv_dsp_tpu.ops.window import get_window_np
+
+    n = nfft * 4 + hop * 3
+    x = jnp.asarray(rng.standard_normal((2, n)), dtype=jnp.float32)
+    got = np.asarray(pf.stft_power_packed(x, nfft, hop, interpret=True))
+    w = get_window_np("hann", nfft, None)
+    nf = 1 + (n - nfft + hop) // hop
+    xp = np.pad(np.asarray(x, np.float64),
+                ((0, 0), (0, (nf - 1) * hop + nfft - n)))
+    frames = np.stack([xp[:, i * hop:i * hop + nfft] for i in range(nf)], 1)
+    want = np.abs(np.fft.rfft(frames * w, axis=-1)) ** 2
+    assert np.abs(got - want).max() / np.abs(want).max() < 5e-5

@@ -426,6 +426,305 @@ def _stft_mel_call_packed(x, nfft, hop, n_mels, sample_rate, window,
     return out, nf
 
 
+def _packed_tail_spectrum(sre_ref, sim_ref, ore_ref, oim_ref, dp_ref,
+                          dpr_ref, dpr0_ref, wkr_ref, wki_ref, *, m, tk,
+                          lstop, selfs, crosses, algorithm="f32"):
+    """DFT-lstop tail + Hermitian-unpack SPECTRUM, writing X values into
+    ore/oim: row layout is the packed STORAGE order (p1 rows hold
+    X[bin(row)], partner rows hold X[m - bin]), with the Nyquist bin X[m]
+    (real) written into row `m` of the (m + 8)-row output tiles."""
+    dpv = dp_ref[:]
+    dprv = dpr_ref[:]
+    dpr0v = dpr0_ref[:]
+
+    def eo(lo1, nr, ni, rr, ri):
+        er = 0.5 * (nr + rr)
+        ei = 0.5 * (ni - ri)
+        o_r = 0.5 * (ni + ri)
+        o_i = -0.5 * (nr - rr)
+        wr = wkr_ref[lo1:lo1 + lstop]
+        wi = wki_ref[lo1:lo1 + lstop]
+        wor = wr * o_r - wi * o_i
+        woi = wr * o_i + wi * o_r
+        return er, ei, wor, woi
+
+    for b, kind in selfs:
+        lo = b * lstop
+        packed = jnp.concatenate(
+            [sre_ref[lo:lo + lstop, :], sim_ref[lo:lo + lstop, :]], axis=0)
+        nv = _dot_alg(dpv, packed, algorithm)
+        rv = _dot_alg(dpr0v if kind == 0 else dprv, packed, algorithm)
+        er, ei, wor, woi = eo(lo, nv[:lstop], nv[lstop:], rv[:lstop],
+                              rv[lstop:])
+        ore_ref[lo:lo + lstop, :] = er + wor
+        oim_ref[lo:lo + lstop, :] = ei + woi
+        if kind == 0:
+            # row j=0: X[m] = E[0] - O[0], real (w_0 = 1 so wO == O there)
+            ore_ref[m:m + 1, :] = er[0:1, :] - wor[0:1, :]
+            oim_ref[m:m + 1, :] = ei[0:1, :] - woi[0:1, :]
+    for b1, b2 in crosses:
+        lo1 = b1 * lstop
+        lo2 = b2 * lstop
+        packed1 = jnp.concatenate(
+            [sre_ref[lo1:lo1 + lstop, :], sim_ref[lo1:lo1 + lstop, :]],
+            axis=0)
+        packed2 = jnp.concatenate(
+            [sre_ref[lo2:lo2 + lstop, :], sim_ref[lo2:lo2 + lstop, :]],
+            axis=0)
+        nv = _dot_alg(dpv, packed1, algorithm)
+        rv = _dot_alg(dprv, packed2, algorithm)
+        er, ei, wor, woi = eo(lo1, nv[:lstop], nv[lstop:], rv[:lstop],
+                              rv[lstop:])
+        ore_ref[lo1:lo1 + lstop, :] = er + wor
+        oim_ref[lo1:lo1 + lstop, :] = ei + woi
+        # X[m - k] = conj(E - wO), stored at the partner block's rows
+        ore_ref[lo2:lo2 + lstop, :] = er - wor
+        oim_ref[lo2:lo2 + lstop, :] = woi - ei
+
+
+def _stft_spectrum_packed_kernel(xt_hbm, we_ref, wo_ref, twr_ref, twi_ref,
+                                 dp_ref, dpr_ref, dpr0_ref, wkr_ref,
+                                 wki_ref, ore_ref, oim_ref, xv, sre_ref,
+                                 sim_ref, sem, *, m, mhop, q, tk, lanes_p,
+                                 n_stages, lstop, selfs, crosses, algorithm):
+    c = pl.program_id(0)
+    fbk = pl.program_id(1)
+    dma = pltpu.make_async_copy(
+        xt_hbm.at[c, :, pl.ds(fbk * tk, lanes_p)], xv, sem)
+    dma.start()
+    dma.wait()
+    v = xv[:].reshape(mhop, 2, lanes_p)
+    xevv = v[:, 0, :]
+    xovv = v[:, 1, :]
+    for r in range(q):
+        pe = xevv if r == 0 else pltpu.roll(xevv, lanes_p - r, 1)
+        po = xovv if r == 0 else pltpu.roll(xovv, lanes_p - r, 1)
+        sre_ref[r * mhop:(r + 1) * mhop, :] = (
+            pe[:, :tk] * we_ref[r * mhop:(r + 1) * mhop, :])
+        sim_ref[r * mhop:(r + 1) * mhop, :] = (
+            po[:, :tk] * wo_ref[r * mhop:(r + 1) * mhop, :])
+    _forward_stages(sre_ref, sim_ref, twr_ref, twi_ref, nfft=m, tk=tk,
+                    n_stages=n_stages, real_input=False)
+    _packed_tail_spectrum(sre_ref, sim_ref, ore_ref.at[0], oim_ref.at[0],
+                          dp_ref,
+                          dpr_ref, dpr0_ref, wkr_ref, wki_ref, m=m, tk=tk,
+                          lstop=lstop, selfs=selfs, crosses=crosses,
+                          algorithm=algorithm)
+
+
+def _stft_power_packed_kernel(xt_hbm, we_ref, wo_ref, twr_ref, twi_ref,
+                              dp_ref, dpr_ref, dpr0_ref, wkr_ref, wki_ref,
+                              out_ref, xv, sre_ref, sim_ref, sem, *, m,
+                              mhop, q, tk, lanes_p, n_stages, lstop, selfs,
+                              crosses, algorithm):
+    c = pl.program_id(0)
+    fbk = pl.program_id(1)
+    dma = pltpu.make_async_copy(
+        xt_hbm.at[c, :, pl.ds(fbk * tk, lanes_p)], xv, sem)
+    dma.start()
+    dma.wait()
+    v = xv[:].reshape(mhop, 2, lanes_p)
+    xevv = v[:, 0, :]
+    xovv = v[:, 1, :]
+    for r in range(q):
+        pe = xevv if r == 0 else pltpu.roll(xevv, lanes_p - r, 1)
+        po = xovv if r == 0 else pltpu.roll(xovv, lanes_p - r, 1)
+        sre_ref[r * mhop:(r + 1) * mhop, :] = (
+            pe[:, :tk] * we_ref[r * mhop:(r + 1) * mhop, :])
+        sim_ref[r * mhop:(r + 1) * mhop, :] = (
+            po[:, :tk] * wo_ref[r * mhop:(r + 1) * mhop, :])
+    _forward_stages(sre_ref, sim_ref, twr_ref, twi_ref, nfft=m, tk=tk,
+                    n_stages=n_stages, real_input=False)
+    nyq_row = _packed_tail_power(sre_ref, sim_ref, dp_ref, dpr_ref,
+                                 dpr0_ref, wkr_ref, wki_ref, m=m, tk=tk,
+                                 lstop=lstop, selfs=selfs, crosses=crosses,
+                                 algorithm=algorithm)
+    out_ref[0, :m, :] = sre_ref[:]
+    out_ref[0, m:m + 1, :] = nyq_row
+
+
+def stft_power_packed(x, nfft: int, hop: int, window: str = "hann",
+                      window_param=None, interpret: bool | None = None,
+                      algorithm: str | None = None):
+    """One-sided power spectrogram |rfft(w*frame)|^2 via the packed-real
+    Stockham kernel: (channels, n) -> (channels, frames, nfft//2+1) in
+    NATURAL bin order.  Half the butterfly/tail work and half the raw
+    output rows of stft_power_stockham.  Matches STFT(...).power to f32
+    rounding."""
+    from vv_dsp_tpu.ops.window import get_window_np
+
+    if interpret is None:
+        interpret = not _on_tpu()
+    if not stft_mel_packed_supported(nfft, hop):
+        raise ValueError("unsupported geometry; "
+                         "check stft_mel_packed_supported()")
+    if jnp.iscomplexobj(x):
+        raise TypeError("stft_power_packed requires real input")
+    x = config.as_compute(x)
+    if x.dtype != jnp.float32:
+        x = x.astype(jnp.float32)
+    c, n = x.shape
+    m = nfft // 2
+    mhop = hop // 2
+    q = nfft // hop
+    tk = _TK
+    lstop = min(_LSTOP, m)
+    n_stages = (m // lstop).bit_length() - 1
+    nf = 1 if n < nfft else 1 + (n - nfft + hop) // hop
+    nf_p = _round_up(nf, tk)
+    lanes_p = _round_up(tk + q - 1, 128)
+    nb = nf_p - tk + lanes_p
+    xp = jnp.pad(x, ((0, 0), (0, nb * hop - n)))
+    xt = jnp.swapaxes(xp.reshape(c, nb, hop), -1, -2)
+
+    w_np = get_window_np(window, nfft, window_param).astype(np.float32)
+    we = np.ascontiguousarray(w_np[0::2]).reshape(m, 1)
+    wo = np.ascontiguousarray(w_np[1::2]).reshape(m, 1)
+    twr, twi = _stage_twiddles(m, n_stages)
+    dp, dpr, dpr0 = _packed_tail_mats(lstop)
+    wkr, wki = _packed_wk(nfft, lstop)
+    selfs, crosses, _ = _packed_pair_plan(m, lstop)
+    m_pad = m + 8
+
+    kernel = functools.partial(
+        _stft_power_packed_kernel, m=m, mhop=mhop, q=q, tk=tk,
+        lanes_p=lanes_p, n_stages=n_stages, lstop=lstop,
+        selfs=tuple(selfs), crosses=tuple(crosses),
+        algorithm=_dot_algorithm(algorithm))
+    const = lambda shape: pl.BlockSpec(shape, lambda c, f: (0, 0),
+                                       memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=(c, nf_p // tk),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            const((m, 1)), const((m, 1)), const(twr.shape),
+            const(twi.shape), const(dp.shape), const(dpr.shape),
+            const(dpr0.shape), const((m, 1)), const((m, 1)),
+        ],
+        out_specs=pl.BlockSpec((1, m_pad, tk), lambda c, f: (c, 0, f),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((c, m_pad, nf_p), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((hop, lanes_p), jnp.float32),
+            pltpu.VMEM((m, tk), jnp.float32),
+            pltpu.VMEM((m, tk), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(xt, jnp.asarray(we), jnp.asarray(wo), jnp.asarray(twr),
+      jnp.asarray(twi), jnp.asarray(dp), jnp.asarray(dpr),
+      jnp.asarray(dpr0), jnp.asarray(wkr), jnp.asarray(wki))
+    bins = _packed_storage_bins(m, lstop, m_pad)
+    inv = np.zeros(m + 1, dtype=np.int64)
+    inv[bins[bins >= 0]] = np.nonzero(bins >= 0)[0]
+    idx = jnp.asarray(inv)
+    pw = jnp.swapaxes(out, -1, -2)[:, :nf, :]
+    return jnp.take(pw, idx, axis=-1)
+
+
+@functools.lru_cache(maxsize=16)
+def _packed_storage_bins(m: int, lstop: int, m_pad: int) -> np.ndarray:
+    """bin held by each packed-storage output row (rows m..m_pad-1 are
+    dead padding except row m = Nyquist)."""
+    _, _, row_bin = _packed_pair_plan(m, lstop)
+    out = np.full(m_pad, -1, dtype=np.int64)
+    out[:m] = row_bin
+    out[m] = m
+    return out
+
+
+def stft_spectrum_packed(x, nfft: int, hop: int, window: str = "hann",
+                         window_param=None, onesided: bool = False,
+                         interpret: bool | None = None,
+                         algorithm: str | None = None):
+    """Windowed complex STFT spectrum via the PACKED-REAL Stockham kernel
+    (m = nfft/2 complex FFT + paired-row Hermitian unpack — half the
+    butterfly/tail work of stft_spectrum_stockham and half the raw output
+    rows): (channels, n) real -> (channels, frames, bins) complex64, bins
+    = nfft (two-sided, Hermitian-expanded in XLA) or nfft//2+1.  Matches
+    STFT(...).process to f32 rounding."""
+    from vv_dsp_tpu.ops.window import get_window_np
+
+    if interpret is None:
+        interpret = not _on_tpu()
+    if not stft_mel_packed_supported(nfft, hop):
+        raise ValueError("unsupported geometry; "
+                         "check stft_mel_packed_supported()")
+    if jnp.iscomplexobj(x):
+        raise TypeError("stft_spectrum_packed requires real input")
+    x = config.as_compute(x)
+    if x.dtype != jnp.float32:
+        x = x.astype(jnp.float32)
+    c, n = x.shape
+    m = nfft // 2
+    mhop = hop // 2
+    q = nfft // hop
+    tk = _TK
+    lstop = min(_LSTOP, m)
+    n_stages = (m // lstop).bit_length() - 1
+    nf = 1 if n < nfft else 1 + (n - nfft + hop) // hop
+    nf_p = _round_up(nf, tk)
+    lanes_p = _round_up(tk + q - 1, 128)
+    nb = nf_p - tk + lanes_p
+    xp = jnp.pad(x, ((0, 0), (0, nb * hop - n)))
+    xt = jnp.swapaxes(xp.reshape(c, nb, hop), -1, -2)
+
+    w_np = get_window_np(window, nfft, window_param).astype(np.float32)
+    we = np.ascontiguousarray(w_np[0::2]).reshape(m, 1)
+    wo = np.ascontiguousarray(w_np[1::2]).reshape(m, 1)
+    twr, twi = _stage_twiddles(m, n_stages)
+    dp, dpr, dpr0 = _packed_tail_mats(lstop)
+    wkr, wki = _packed_wk(nfft, lstop)
+    selfs, crosses, _ = _packed_pair_plan(m, lstop)
+    m_pad = m + 8
+
+    kernel = functools.partial(
+        _stft_spectrum_packed_kernel, m=m, mhop=mhop, q=q, tk=tk,
+        lanes_p=lanes_p, n_stages=n_stages, lstop=lstop,
+        selfs=tuple(selfs), crosses=tuple(crosses),
+        algorithm=_dot_algorithm(algorithm))
+    const = lambda shape: pl.BlockSpec(shape, lambda c, f: (0, 0),
+                                       memory_space=pltpu.VMEM)
+    spec = pl.BlockSpec((1, m_pad, tk), lambda c, f: (c, 0, f),
+                        memory_space=pltpu.VMEM)
+    re, im = pl.pallas_call(
+        kernel,
+        grid=(c, nf_p // tk),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            const((m, 1)), const((m, 1)), const(twr.shape),
+            const(twi.shape), const(dp.shape), const(dpr.shape),
+            const(dpr0.shape), const((m, 1)), const((m, 1)),
+        ],
+        out_specs=(spec, spec),
+        out_shape=(jax.ShapeDtypeStruct((c, m_pad, nf_p), jnp.float32),
+                   jax.ShapeDtypeStruct((c, m_pad, nf_p), jnp.float32)),
+        scratch_shapes=[
+            pltpu.VMEM((hop, lanes_p), jnp.float32),
+            pltpu.VMEM((m, tk), jnp.float32),
+            pltpu.VMEM((m, tk), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(xt, jnp.asarray(we), jnp.asarray(wo), jnp.asarray(twr),
+      jnp.asarray(twi), jnp.asarray(dp), jnp.asarray(dpr),
+      jnp.asarray(dpr0), jnp.asarray(wkr), jnp.asarray(wki))
+
+    # one-sided natural bins 0..m via the storage-row inverse map
+    bins = _packed_storage_bins(m, lstop, m_pad)
+    inv = np.zeros(m + 1, dtype=np.int64)
+    inv[bins[bins >= 0]] = np.nonzero(bins >= 0)[0]
+    idx = jnp.asarray(inv)
+    re_n = jnp.take(jnp.swapaxes(re, -1, -2)[:, :nf, :], idx, axis=-1)
+    im_n = jnp.take(jnp.swapaxes(im, -1, -2)[:, :nf, :], idx, axis=-1)
+    half = jax.lax.complex(re_n, im_n)
+    if onesided:
+        return half
+    from vv_dsp_tpu.ops import fft as _fftmod
+    return _fftmod.hermitian_expand(half, nfft)
+
+
 def stft_mel_supported(nfft: int, hop: int, n: int | None = None) -> bool:
     """Geometry the fused kernel handles: pow2 nfft in [128, 2048] (VMEM
     bound: the (nfft, 128) re/im tiles plus stage temporaries), hop | nfft,
