@@ -316,3 +316,37 @@ def test_stft_power_packed_matches_oracle(rng, nfft, hop):
     frames = np.stack([xp[:, i * hop:i * hop + nfft] for i in range(nf)], 1)
     want = np.abs(np.fft.rfft(frames * w, axis=-1)) ** 2
     assert np.abs(got - want).max() / np.abs(want).max() < 5e-5
+
+
+@pytest.mark.parametrize("rfft_flag", [True, False])
+@pytest.mark.parametrize("nfft,hop,n", [(2048, 512, 10240), (1024, 256, 6000),
+                                        (512, 128, 4000)])
+def test_istft_packed_matches_reconstruct(rng, rfft_flag, nfft, hop, n):
+    """Packed-real inverse kernel (m = nfft/2 complex inverse of the
+    Hermitian-repacked spectrum) vs the plan's matmul reconstruct; edge
+    tolerance as in test_istft_stockham_matches_reconstruct (tiny-w^2
+    division amplifies f32 rounding differences arbitrarily there)."""
+    x = jnp.asarray(rng.standard_normal((2, n)).astype(np.float32))
+    plan = STFT(nfft, hop, "hann")
+    spec = plan.process(x, rfft=rfft_flag)
+    time = (jnp.fft.irfft(spec, nfft) if rfft_flag
+            else jnp.fft.ifft(spec).real.astype(jnp.float32))
+    want = np.asarray(plan._ola_norm(time.astype(jnp.float32), n))
+    got = np.asarray(pf.istft_packed(spec, nfft, hop, n, "hann",
+                                     rfft=rfft_flag, interpret=True))
+    scale = np.abs(want).max() + 1e-30
+    e = nfft
+    np.testing.assert_allclose(got[:, e:-e] / scale, want[:, e:-e] / scale,
+                               rtol=0, atol=5e-6)
+
+
+def test_istft_packed_roundtrip_identity(rng):
+    nfft, hop, n = 512, 128, 4000
+    x = jnp.asarray(rng.standard_normal((1, n)).astype(np.float32))
+    plan = STFT(nfft, hop, "hann")
+    spec = plan.process(x, rfft=True)
+    got = np.asarray(pf.istft_packed(spec, nfft, hop, n, rfft=True,
+                                     interpret=True))
+    pad = nfft - hop
+    np.testing.assert_allclose(got[:, pad:-pad], np.asarray(x)[:, pad:-pad],
+                               rtol=0, atol=3e-5)

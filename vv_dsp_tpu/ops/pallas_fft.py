@@ -634,6 +634,232 @@ def _packed_storage_bins(m: int, lstop: int, m_pad: int) -> np.ndarray:
     return out
 
 
+@functools.lru_cache(maxsize=4)
+def _packed_idft_rev(lstop: int, m: int) -> np.ndarray:
+    """_packed_idft with the INPUT rows reversed (columns permuted by
+    L-1-j in both the re and im halves): partner blocks of the packed
+    inverse hold their Z rows in reversed natural order (storage row j of
+    block b2 carries the bin of b2's natural row L-1-j), and folding the
+    reversal into the tail matrix keeps the kernel free of sublane
+    reversals."""
+    dpi = _packed_idft(lstop, m)
+    sig = np.arange(lstop)[::-1]
+    cols = np.concatenate([sig, lstop + sig])
+    return np.ascontiguousarray(dpi[:, cols]).astype(np.float32)
+
+
+@functools.lru_cache(maxsize=4)
+def _packed_self_perms(lstop: int):
+    """Packed [P 0; 0 P] row-permutation matrices aligning a self-paired
+    block's Hermitian-partner rows: sigma0(j) = (L-j) % L for the r=0
+    block, L-1-j for the r=nb/2 block."""
+    def packed(sig):
+        p = np.zeros((lstop, lstop), np.float32)
+        p[np.arange(lstop), sig] = 1.0
+        z = np.zeros_like(p)
+        return np.block([[p, z], [z, p]]).astype(np.float32)
+
+    sig0 = (lstop - np.arange(lstop)) % lstop
+    sigr = np.arange(lstop)[::-1]
+    return packed(sig0), packed(sigr)
+
+
+def _istft_packed_kernel(re_hbm, im_hbm, w_ref, twr_ref, twi_ref, dpi_ref,
+                         dpir_ref, p0_ref, pr_ref, wkr_ref, wki_ref,
+                         out_ref, xre, xim, zre, zim, sems, *, m, nfft,
+                         hop, q, tk, n_stages, lstop, selfs, crosses,
+                         algorithm):
+    c = pl.program_id(0)
+    st = pl.program_id(1)
+    m_pad = m + 8
+    d1 = pltpu.make_async_copy(
+        re_hbm.at[c, :, pl.ds(st * tk, tk)], xre, sems.at[0])
+    d2 = pltpu.make_async_copy(
+        im_hbm.at[c, :, pl.ds(st * tk, tk)], xim, sems.at[1])
+    d1.start()
+    d2.start()
+    d1.wait()
+    d2.wait()
+
+    # Hermitian repack: Z[k] = Ye + j*Yo with Ye = (X[k] + conj(X[m-k]))/2
+    # ... the m-point complex spectrum whose inverse is ye + j*yo.  Row
+    # alignment of X[m-k]: cross pairs are aligned by construction; self
+    # blocks go through a tiny permutation matmul.
+    def repack(lo1, xkr, xki, xmr, xmi):
+        yer = 0.5 * (xkr + xmr)
+        yei = 0.5 * (xki - xmi)
+        d_r = 0.5 * (xkr - xmr)
+        d_i = 0.5 * (xki + xmi)
+        wr = wkr_ref[lo1:lo1 + lstop]
+        wi = wki_ref[lo1:lo1 + lstop]
+        yor = wr * d_r + wi * d_i      # w^{-k} d
+        yoi = wr * d_i - wi * d_r
+        # partner rows: Ye' = conj-ish mix, w^{-(m-k)} = -w^{+k}
+        yer2 = 0.5 * (xmr + xkr)
+        yei2 = 0.5 * (xmi - xki)
+        d2r = 0.5 * (xmr - xkr)
+        d2i = 0.5 * (xmi + xki)
+        yor2 = -(wr * d2r - wi * d2i)  # (-wr, -wi) * d2
+        yoi2 = -(wr * d2i + wi * d2r)
+        return ((yer - yoi, yei + yor), (yer2 - yoi2, yei2 + yor2))
+
+    for b, kind in selfs:
+        lo = b * lstop
+        xkr = xre[lo:lo + lstop, :]
+        xki = xim[lo:lo + lstop, :]
+        packed = jnp.concatenate([xkr, xki], axis=0)
+        pv = _dot_alg(p0_ref[:] if kind == 0 else pr_ref[:], packed, "f32")
+        z1, _ = repack(lo, xkr, xki, pv[:lstop], pv[lstop:])
+        zre[lo:lo + lstop, :] = z1[0]
+        zim[lo:lo + lstop, :] = z1[1]
+        if kind == 0:
+            # row 0 exact: X[0+m] is the Nyquist ROW, not conj(X[0])
+            x0r = xre[lo:lo + 1, :]
+            x0i = xim[lo:lo + 1, :]
+            xnr = xre[m:m + 1, :]
+            xni = xim[m:m + 1, :]
+            yer = 0.5 * (x0r + xnr)
+            yei = 0.5 * (x0i + xni)
+            yor = 0.5 * (x0r - xnr)
+            yoi = 0.5 * (x0i - xni)
+            zre[lo:lo + 1, :] = yer - yoi
+            zim[lo:lo + 1, :] = yei + yor
+    for b1, b2 in crosses:
+        lo1 = b1 * lstop
+        lo2 = b2 * lstop
+        z1, z2 = repack(lo1, xre[lo1:lo1 + lstop, :], xim[lo1:lo1 + lstop, :],
+                        xre[lo2:lo2 + lstop, :], xim[lo2:lo2 + lstop, :])
+        zre[lo1:lo1 + lstop, :] = z1[0]
+        zim[lo1:lo1 + lstop, :] = z1[1]
+        zre[lo2:lo2 + lstop, :] = z2[0]
+        zim[lo2:lo2 + lstop, :] = z2[1]
+
+    # inverse m-point FFT (1/m folded into the idft tail); partner blocks
+    # carry their Z rows reversed -> reversed-input tail matrix
+    dpiv = dpi_ref[:]
+    dpirv = dpir_ref[:]
+    partner = {b2 for _, b2 in crosses}
+    for b_ in range(m // lstop):
+        lo = b_ * lstop
+        packed = jnp.concatenate(
+            [zre[lo:lo + lstop, :], zim[lo:lo + lstop, :]], axis=0)
+        o = _dot_alg(dpirv if b_ in partner else dpiv, packed, algorithm)
+        zre[lo:lo + lstop, :] = o[:lstop]
+        zim[lo:lo + lstop, :] = o[lstop:]
+    _inverse_stages(zre, zim, twr_ref, twi_ref, nfft=m, tk=tk,
+                    n_stages=n_stages)
+
+    # interleave ye/yo to the nfft-sample frame, window, OLA into strips
+    y = jnp.stack([zre[:], zim[:]], axis=1).reshape(nfft, tk) * w_ref[:]
+    acc = jnp.zeros((hop, 2 * tk), jnp.float32)
+    for r in range(q):
+        part = jnp.pad(y[r * hop:(r + 1) * hop, :], ((0, 0), (0, tk)))
+        acc = acc + (part if r == 0 else pltpu.roll(part, r, 1))
+    out_ref[0, 0, :, :] = acc
+
+
+def istft_packed(spec, nfft: int, hop: int, output_len: int,
+                 window: str = "hann", window_param=None,
+                 rfft: bool = False, interpret: bool | None = None,
+                 algorithm: str | None = None):
+    """Inverse STFT with w^2-normalized overlap-add via the PACKED-REAL
+    inverse kernel: the real nfft-point inverse runs as an m = nfft/2
+    complex inverse FFT of the Hermitian-repacked spectrum
+    (Z[k] = Ye + j*Yo), halving the butterfly and idft-tail work of
+    istft_stockham.  Same semantics as STFT(...).reconstruct including the
+    reference's partial-coverage edge norm."""
+    from vv_dsp_tpu.ops.window import get_window_np
+
+    if interpret is None:
+        interpret = not _on_tpu()
+    if not stft_mel_packed_supported(nfft, hop):
+        raise ValueError("unsupported geometry; "
+                         "check stft_mel_packed_supported()")
+    if spec.ndim != 3:
+        raise ValueError("expected (channels, frames, bins)")
+    c, nf, bins = spec.shape
+    m = nfft // 2
+    q = nfft // hop
+    tk = _TK
+    lstop = min(_LSTOP, m)
+    n_stages = (m // lstop).bit_length() - 1
+    m_pad = m + 8
+
+    if rfft:
+        if bins != m + 1:
+            raise ValueError("rfft=True expects nfft//2+1 bins")
+        half = spec
+    else:
+        if bins != nfft:
+            raise ValueError("rfft=False expects nfft bins")
+        half = spec[..., : m + 1]
+    src = _packed_storage_bins(m, lstop, m_pad)
+    idx = jnp.asarray(np.where(src >= 0, src, 0))
+    re_n = jnp.take(jnp.real(half), idx, axis=-1).astype(jnp.float32)
+    im_n = jnp.take(jnp.imag(half), idx, axis=-1).astype(jnp.float32)
+
+    nf_p = _round_up(nf, tk) + tk  # +tk: final frames' OLA spill
+    re_t = jnp.swapaxes(jnp.pad(re_n, ((0, 0), (0, nf_p - nf), (0, 0))),
+                        -1, -2)   # (c, m_pad, nf_p)
+    im_t = jnp.swapaxes(jnp.pad(im_n, ((0, 0), (0, nf_p - nf), (0, 0))),
+                        -1, -2)
+
+    w_np = get_window_np(window, nfft, window_param).astype(np.float32)
+    twr, twi = _stage_twiddles(m, n_stages)
+    dpi = _packed_idft(lstop, m)
+    dpir = _packed_idft_rev(lstop, m)
+    p0, pr = _packed_self_perms(lstop)
+    wkr, wki = _packed_wk(nfft, lstop)
+    selfs, crosses, _ = _packed_pair_plan(m, lstop)
+    steps = nf_p // tk
+
+    kernel = functools.partial(
+        _istft_packed_kernel, m=m, nfft=nfft, hop=hop, q=q, tk=tk,
+        n_stages=n_stages, lstop=lstop, selfs=tuple(selfs),
+        crosses=tuple(crosses), algorithm=_dot_algorithm(algorithm))
+    const = lambda shape: pl.BlockSpec(shape, lambda c, s: (0, 0),
+                                       memory_space=pltpu.VMEM)
+    strips = pl.pallas_call(
+        kernel,
+        grid=(c, steps),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            const((nfft, 1)), const(twr.shape), const(twi.shape),
+            const(dpi.shape), const(dpir.shape), const(p0.shape),
+            const(pr.shape), const((m, 1)), const((m, 1)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, hop, 2 * tk),
+                               lambda c, s: (c, s, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((c, steps, hop, 2 * tk), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((m_pad, tk), jnp.float32),
+            pltpu.VMEM((m_pad, tk), jnp.float32),
+            pltpu.VMEM((m, tk), jnp.float32),
+            pltpu.VMEM((m, tk), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(re_t, im_t, jnp.asarray(w_np.reshape(nfft, 1)), jnp.asarray(twr),
+      jnp.asarray(twi), jnp.asarray(dpi), jnp.asarray(dpir),
+      jnp.asarray(p0), jnp.asarray(pr), jnp.asarray(wkr),
+      jnp.asarray(wki))
+
+    strips = jnp.swapaxes(strips, -1, -2)
+    main = strips[:, :, :tk, :].reshape(c, steps * tk * hop)
+    spill = strips[:, :, tk:, :].reshape(c, steps * tk * hop)
+    recon = main + jnp.pad(spill, ((0, 0), (tk * hop, 0)))[:, :steps * tk
+                                                           * hop]
+    total = steps * tk * hop
+    if output_len > total:
+        recon = jnp.pad(recon, ((0, 0), (0, output_len - total)))
+    recon = recon[:, :output_len]
+    norm = jnp.asarray(_ola_norm_table(nfft, hop, nf, output_len, window,
+                                       window_param))
+    return recon / norm
+
+
 def stft_spectrum_packed(x, nfft: int, hop: int, window: str = "hann",
                          window_param=None, onesided: bool = False,
                          interpret: bool | None = None,

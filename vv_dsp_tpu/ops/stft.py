@@ -86,12 +86,12 @@ class STFT:
             return restore(self.process(x2, rfft), 2)
         n = x.shape[-1]
         nf = self.num_frames(n)
-        if x.ndim == 2 and not jnp.iscomplexobj(x) and self.nfft >= 512:
-            # below 512 the dense windowed-basis matmul ties/wins; from 512
-            # up the Stockham kernel wins (honest full-sum chained timing,
-            # v5e, 16ch x 480k: c2c 2.8 vs 3.1 ms at 512, 2.9 vs 4.5 at
-            # 1024 — round-2's opposite conclusion came from a benchmark
-            # whose sliced consumption let XLA prune the dense matmul)
+        if x.ndim == 2 and not jnp.iscomplexobj(x) and self.nfft >= 256:
+            # the packed-real kernel wins from 256 up (2.0 vs 2.9 ms dense
+            # at 256/64); the plain Stockham from 512 (honest full-sum
+            # chained timing, v5e, 16ch x 480k — round-2's opposite
+            # conclusion came from a benchmark whose sliced consumption
+            # let XLA prune the dense matmul)
             from vv_dsp_tpu.ops import pallas_fft as _pf
             from vv_dsp_tpu.utils.kernel_grad import kernel_with_xla_vjp
             import jax as _jax
@@ -105,7 +105,8 @@ class STFT:
                     onesided=rfft)
                 return kernel_with_xla_vjp(
                     fast, lambda xv: self._process_xla(xv, rfft))(x)
-            if (_pf.stft_mel_supported(self.nfft, self.hop)
+            if (self.nfft >= 512
+                    and _pf.stft_mel_supported(self.nfft, self.hop)
                     and _jax.default_backend() == "tpu"):
                 fast = lambda xv: _pf.stft_spectrum_stockham(
                     xv, self.nfft, self.hop, self.window, self.window_param,
@@ -243,14 +244,29 @@ class STFT:
             out = self.reconstruct(
                 spec.reshape((-1,) + spec.shape[-2:]), output_len, rfft)
             return out.reshape(lead + out.shape[-1:])
-        if spec.ndim == 3 and self.nfft >= 2048:
-            # like process(): below 2048 the dense c2r matmul + strided OLA
-            # wins (the kernel pays permute/transpose passes over the
-            # spectrum, which dominates when the transform math is cheap)
+        if spec.ndim == 3 and self.nfft >= 256:
             from vv_dsp_tpu.ops import pallas_fft as _pf
             from vv_dsp_tpu.utils.kernel_grad import kernel_with_xla_vjp
             import jax as _jax
-            if (_pf.stft_mel_supported(self.nfft, self.hop)
+            if (_pf.stft_mel_packed_supported(self.nfft, self.hop)
+                    and _jax.default_backend() == "tpu"):
+                # packed-real inverse: m = nfft/2 complex inverse FFT of
+                # the Hermitian-repacked spectrum — beats the dense c2r
+                # matmul AND the full-size inverse Stockham at every
+                # measured size (v5e 16ch x 480k: 2.5 vs 3.8 dense at
+                # 1024/256, 2.6 vs 4.5 stockham at 2048/512)
+                fast = lambda sp: _pf.istft_packed(
+                    sp, self.nfft, self.hop, output_len, self.window,
+                    self.window_param, rfft=rfft)
+
+                def ref(sp):  # XLA path for the backward pass
+                    t = (_fft.irfft(sp, self.nfft) if rfft
+                         else _fft.ifft(sp).real)
+                    return self._ola_norm(t, output_len)
+
+                return kernel_with_xla_vjp(fast, ref)(spec)
+            if (self.nfft >= 2048
+                    and _pf.stft_mel_supported(self.nfft, self.hop)
                     and _jax.default_backend() == "tpu"):
                 # inverse Stockham kernel + in-kernel OLA strips
                 fast = lambda sp: _pf.istft_stockham(
