@@ -350,3 +350,19 @@ def test_istft_packed_roundtrip_identity(rng):
     pad = nfft - hop
     np.testing.assert_allclose(got[:, pad:-pad], np.asarray(x)[:, pad:-pad],
                                rtol=0, atol=3e-5)
+
+
+@pytest.mark.parametrize("nfft,hop", [(1024, 256), (2048, 512), (512, 128)])
+def test_stft_gate_packed_matches_plain(rng, nfft, hop):
+    """Packed-real fused gate kernel vs the plain Stockham gate kernel on
+    COLA-padded input (interior samples exact — the models.SpectralGate
+    contract)."""
+    n = nfft * 4
+    pad = nfft - hop
+    x = np.zeros((2, n + 2 * pad), np.float32)
+    x[:, pad:pad + n] = rng.standard_normal((2, n)).astype(np.float32)
+    xj = jnp.asarray(x)
+    a = np.asarray(pf.stft_gate_pallas(xj, nfft, hop, 0.1, interpret=True))
+    b = np.asarray(pf.stft_gate_packed(xj, nfft, hop, 0.1, interpret=True))
+    scale = max(1.0, np.abs(a).max())
+    assert np.abs(a[:, pad:pad + n] - b[:, pad:pad + n]).max() / scale < 5e-6

@@ -169,13 +169,19 @@ class SpectralGate:
         from vv_dsp_tpu.ops import pallas_fft as _pf
         from vv_dsp_tpu.utils.kernel_grad import kernel_with_xla_vjp
         if (x.ndim == 2 and not jnp.iscomplexobj(x)
-                and _pf.stft_gate_supported(self.nfft, self.hop)
+                and (_pf.stft_gate_supported(self.nfft, self.hop)
+                     or _pf.stft_gate_packed_supported(self.nfft, self.hop))
                 and jax.default_backend() == "tpu"):
-            # whole pipeline in ONE Stockham kernel pass (every retained
-            # sample exact; the pad slices absorb the kernel's periodic-norm
-            # edge semantics — ops/pallas_fft.py:stft_gate_pallas)
-            fast = lambda xv: _pf.stft_gate_pallas(
-                xv, self.nfft, self.hop, self.threshold, self.window)
+            # whole pipeline in ONE kernel pass (every retained sample
+            # exact; the pad slices absorb the kernel's periodic-norm edge
+            # semantics) — the packed-real variant when the geometry
+            # allows (half the butterfly/tail work both directions)
+            if _pf.stft_gate_packed_supported(self.nfft, self.hop):
+                fast = lambda xv: _pf.stft_gate_packed(
+                    xv, self.nfft, self.hop, self.threshold, self.window)
+            else:
+                fast = lambda xv: _pf.stft_gate_pallas(
+                    xv, self.nfft, self.hop, self.threshold, self.window)
 
             def ref(xv):  # parts-form XLA path for the backward pass
                 re, im = self.stft_plan.power_parts(xv)

@@ -664,27 +664,17 @@ def _packed_self_perms(lstop: int):
     return packed(sig0), packed(sigr)
 
 
-def _istft_packed_kernel(re_hbm, im_hbm, w_ref, twr_ref, twi_ref, dpi_ref,
-                         dpir_ref, p0_ref, pr_ref, wkr_ref, wki_ref,
-                         out_ref, xre, xim, zre, zim, sems, *, m, nfft,
-                         hop, q, tk, n_stages, lstop, selfs, crosses,
-                         algorithm):
-    c = pl.program_id(0)
-    st = pl.program_id(1)
-    m_pad = m + 8
-    d1 = pltpu.make_async_copy(
-        re_hbm.at[c, :, pl.ds(st * tk, tk)], xre, sems.at[0])
-    d2 = pltpu.make_async_copy(
-        im_hbm.at[c, :, pl.ds(st * tk, tk)], xim, sems.at[1])
-    d1.start()
-    d2.start()
-    d1.wait()
-    d2.wait()
-
-    # Hermitian repack: Z[k] = Ye + j*Yo with Ye = (X[k] + conj(X[m-k]))/2
-    # ... the m-point complex spectrum whose inverse is ye + j*yo.  Row
-    # alignment of X[m-k]: cross pairs are aligned by construction; self
-    # blocks go through a tiny permutation matmul.
+def _packed_repack_inverse(xre, xim, zre, zim, dpi_ref, dpir_ref, p0_ref,
+                           pr_ref, wkr_ref, wki_ref, twr_ref, twi_ref, *,
+                           m, tk, lstop, n_stages, selfs, crosses,
+                           algorithm):
+    """Hermitian REpack Z[k] = Ye + j*Yo (Ye = (X[k] + conj(X[m-k]))/2,
+    Yo = w^{-k}(X[k] - conj(X[m-k]))/2) from one-sided X in packed STORAGE
+    layout (xre/xim, m+8 rows with the Nyquist at row m), followed by the
+    m-point inverse FFT (idft tail + inverse butterflies) — the shared back
+    half of istft_packed and the packed gate kernel.  Partner blocks carry
+    their Z rows reversed, folded into a reversed-input tail matrix; self
+    blocks get their partner rows via tiny permutation matmuls."""
     def repack(lo1, xkr, xki, xmr, xmi):
         yer = 0.5 * (xkr + xmr)
         yei = 0.5 * (xki - xmi)
@@ -748,6 +738,30 @@ def _istft_packed_kernel(re_hbm, im_hbm, w_ref, twr_ref, twi_ref, dpi_ref,
         zim[lo:lo + lstop, :] = o[lstop:]
     _inverse_stages(zre, zim, twr_ref, twi_ref, nfft=m, tk=tk,
                     n_stages=n_stages)
+
+
+def _istft_packed_kernel(re_hbm, im_hbm, w_ref, twr_ref, twi_ref, dpi_ref,
+                         dpir_ref, p0_ref, pr_ref, wkr_ref, wki_ref,
+                         out_ref, xre, xim, zre, zim, sems, *, m, nfft,
+                         hop, q, tk, n_stages, lstop, selfs, crosses,
+                         algorithm):
+    c = pl.program_id(0)
+    st = pl.program_id(1)
+    m_pad = m + 8
+    d1 = pltpu.make_async_copy(
+        re_hbm.at[c, :, pl.ds(st * tk, tk)], xre, sems.at[0])
+    d2 = pltpu.make_async_copy(
+        im_hbm.at[c, :, pl.ds(st * tk, tk)], xim, sems.at[1])
+    d1.start()
+    d2.start()
+    d1.wait()
+    d2.wait()
+
+    _packed_repack_inverse(xre, xim, zre, zim, dpi_ref, dpir_ref, p0_ref,
+                           pr_ref, wkr_ref, wki_ref, twr_ref, twi_ref,
+                           m=m, tk=tk, lstop=lstop, n_stages=n_stages,
+                           selfs=selfs, crosses=crosses,
+                           algorithm=algorithm)
 
     # interleave ye/yo to the nfft-sample frame, window, OLA into strips
     y = jnp.stack([zre[:], zim[:]], axis=1).reshape(nfft, tk) * w_ref[:]
@@ -1385,6 +1399,167 @@ def _inverse_stages(sre_ref, sim_ref, twr_ref, twi_ref, *, nfft, tk,
             [g0i + pwi, g1i + qji, g0i - pwi, g1i - qji],
             axis=1).reshape(nfft, tk)
         stage -= 2
+
+
+def stft_gate_packed_supported(nfft: int, hop: int) -> bool:
+    """Geometry for the packed-real fused gate kernel (see
+    stft_mel_packed_supported; the gate additionally needs hop < nfft for
+    OLA coverage)."""
+    return stft_mel_packed_supported(nfft, hop) and hop < nfft
+
+
+def _gate_packed_kernel(xt_hbm, we_ref, wo_ref, w_ref, twr_ref, twi_ref,
+                        dp_ref, dpr_ref, dpr0_ref, dpi_ref, dpir_ref,
+                        p0_ref, pr_ref, wkr_ref, wki_ref, out_ref, xv,
+                        zre, zim, xre, xim, sem, *, m, nfft, mhop, hop, q,
+                        tk, lanes_p, n_stages, lstop, selfs, crosses,
+                        thresh2, algorithm):
+    c = pl.program_id(0)
+    st = pl.program_id(1)
+    dma = pltpu.make_async_copy(
+        xt_hbm.at[c, :, pl.ds(st * tk, lanes_p)], xv, sem)
+    dma.start()
+    dma.wait()
+    v = xv[:].reshape(mhop, 2, lanes_p)
+    xevv = v[:, 0, :]
+    xovv = v[:, 1, :]
+    for r in range(q):
+        pe = xevv if r == 0 else pltpu.roll(xevv, lanes_p - r, 1)
+        po = xovv if r == 0 else pltpu.roll(xovv, lanes_p - r, 1)
+        zre[r * mhop:(r + 1) * mhop, :] = (
+            pe[:, :tk] * we_ref[r * mhop:(r + 1) * mhop, :])
+        zim[r * mhop:(r + 1) * mhop, :] = (
+            po[:, :tk] * wo_ref[r * mhop:(r + 1) * mhop, :])
+    _forward_stages(zre, zim, twr_ref, twi_ref, nfft=m, tk=tk,
+                    n_stages=n_stages, real_input=False)
+    # forward unpack to one-sided X in packed storage (xre/xim, nyq row m)
+    _packed_tail_spectrum(zre, zim, xre, xim, dp_ref, dpr_ref, dpr0_ref,
+                          wkr_ref, wki_ref, m=m, tk=tk, lstop=lstop,
+                          selfs=selfs, crosses=crosses, algorithm=algorithm)
+    # spectral gate: per-frame peak over the one-sided powers (the mirror
+    # bins m+1..nfft-1 share magnitudes with 1..m-1, so the one-sided max
+    # IS the two-sided max); mask X in place
+    p2 = xre[:m + 1, :] * xre[:m + 1, :] + xim[:m + 1, :] * xim[:m + 1, :]
+    peak2 = jnp.max(p2, axis=0, keepdims=True)
+    keep = p2 >= jnp.float32(thresh2) * peak2
+    zero = jnp.zeros((m + 1, tk), jnp.float32)
+    xre[:m + 1, :] = jnp.where(keep, xre[:m + 1, :], zero)
+    xim[:m + 1, :] = jnp.where(keep, xim[:m + 1, :], zero)
+    # Hermitian repack + m-point inverse (shared with istft_packed)
+    _packed_repack_inverse(xre, xim, zre, zim, dpi_ref, dpir_ref, p0_ref,
+                           pr_ref, wkr_ref, wki_ref, twr_ref, twi_ref,
+                           m=m, tk=tk, lstop=lstop, n_stages=n_stages,
+                           selfs=selfs, crosses=crosses, algorithm=algorithm)
+    # interleave, synthesis window, OLA into the strip
+    y = jnp.stack([zre[:], zim[:]], axis=1).reshape(nfft, tk) * w_ref[:]
+    acc = jnp.zeros((hop, 2 * tk), jnp.float32)
+    for r in range(q):
+        part = jnp.pad(y[r * hop:(r + 1) * hop, :], ((0, 0), (0, tk)))
+        acc = acc + (part if r == 0 else pltpu.roll(part, r, 1))
+    out_ref[0, 0, :, :] = acc
+
+
+def stft_gate_packed(x, nfft: int, hop: int, threshold: float,
+                     window: str = "hann", window_param=None,
+                     interpret: bool | None = None,
+                     algorithm: str | None = None):
+    """Fused STFT -> spectral gate -> ISTFT on the PACKED-REAL tiers:
+    forward and inverse both run m = nfft/2 complex FFTs (paired-row
+    Hermitian unpack / repack), halving the butterfly and tail work of
+    stft_gate_pallas.  Same semantics: x is COLA-coverage padded by the
+    caller; every output sample in [nfft-hop, n-(nfft-hop)) is exact vs
+    the staged parts path."""
+    from vv_dsp_tpu.ops.window import get_window_np
+
+    if interpret is None:
+        interpret = not _on_tpu()
+    if not stft_gate_packed_supported(nfft, hop):
+        raise ValueError("unsupported geometry; "
+                         "check stft_gate_packed_supported()")
+    x = config.as_compute(x)
+    if x.dtype != jnp.float32:
+        x = x.astype(jnp.float32)
+    c, n = x.shape
+    m = nfft // 2
+    mhop = hop // 2
+    q = nfft // hop
+    tk = _TK
+    lstop = min(_LSTOP, m)
+    n_stages = (m // lstop).bit_length() - 1
+    nf = 1 if n < nfft else 1 + (n - nfft + hop) // hop
+    nf_p = _round_up(nf, tk)
+    lanes_p = _round_up(tk + q - 1, 128)
+    nb = nf_p - tk + lanes_p
+    xp = jnp.pad(x, ((0, 0), (0, nb * hop - n)))
+    xt = jnp.swapaxes(xp.reshape(c, nb, hop), -1, -2)
+
+    w_np = get_window_np(window, nfft, window_param).astype(np.float32)
+    we = np.ascontiguousarray(w_np[0::2]).reshape(m, 1)
+    wo = np.ascontiguousarray(w_np[1::2]).reshape(m, 1)
+    twr, twi = _stage_twiddles(m, n_stages)
+    dp, dpr, dpr0 = _packed_tail_mats(lstop)
+    dpi = _packed_idft(lstop, m)
+    dpir = _packed_idft_rev(lstop, m)
+    p0, pr = _packed_self_perms(lstop)
+    wkr, wki = _packed_wk(nfft, lstop)
+    selfs, crosses, _ = _packed_pair_plan(m, lstop)
+    m_pad = m + 8
+    steps = nf_p // tk
+
+    kernel = functools.partial(
+        _gate_packed_kernel, m=m, nfft=nfft, mhop=mhop, hop=hop, q=q, tk=tk,
+        lanes_p=lanes_p, n_stages=n_stages, lstop=lstop,
+        selfs=tuple(selfs), crosses=tuple(crosses),
+        thresh2=float(threshold) * float(threshold),
+        algorithm=_dot_algorithm(algorithm))
+    const = lambda shape: pl.BlockSpec(shape, lambda c, s: (0, 0),
+                                       memory_space=pltpu.VMEM)
+    strips = pl.pallas_call(
+        kernel,
+        grid=(c, steps),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            const((m, 1)), const((m, 1)), const((nfft, 1)),
+            const(twr.shape), const(twi.shape), const(dp.shape),
+            const(dpr.shape), const(dpr0.shape), const(dpi.shape),
+            const(dpir.shape), const(p0.shape), const(pr.shape),
+            const((m, 1)), const((m, 1)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, hop, 2 * tk),
+                               lambda c, s: (c, s, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((c, steps, hop, 2 * tk), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((hop, lanes_p), jnp.float32),
+            pltpu.VMEM((m, tk), jnp.float32),
+            pltpu.VMEM((m, tk), jnp.float32),
+            pltpu.VMEM((m_pad, tk), jnp.float32),
+            pltpu.VMEM((m_pad, tk), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(xt, jnp.asarray(we), jnp.asarray(wo),
+      jnp.asarray(w_np.reshape(nfft, 1)), jnp.asarray(twr),
+      jnp.asarray(twi), jnp.asarray(dp), jnp.asarray(dpr),
+      jnp.asarray(dpr0), jnp.asarray(dpi), jnp.asarray(dpir),
+      jnp.asarray(p0), jnp.asarray(pr), jnp.asarray(wkr),
+      jnp.asarray(wki))
+
+    strips = jnp.swapaxes(strips, -1, -2)
+    main = strips[:, :, :tk, :].reshape(c, steps * tk * hop)
+    spill = strips[:, :, tk:, :].reshape(c, steps * tk * hop)
+    recon = main + jnp.pad(spill, ((0, 0), (tk * hop, 0)))[:, :steps * tk
+                                                           * hop]
+    # interior-periodic w^2 OLA norm (exact for every retained sample —
+    # the caller's COLA pad absorbs the edges)
+    wsq = w_np.astype(np.float64) ** 2
+    norm_np = np.zeros(hop, np.float64)
+    for r in range(q):
+        norm_np += wsq[r * hop:(r + 1) * hop]
+    norm = jnp.asarray(np.where(norm_np > 1e-12, norm_np, 1.0)
+                       .astype(np.float32))
+    recon = recon.reshape(c, steps * tk, hop) / norm
+    return recon.reshape(c, steps * tk * hop)[:, :n]
 
 
 def stft_gate_supported(nfft: int, hop: int) -> bool:
