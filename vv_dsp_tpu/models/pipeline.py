@@ -80,10 +80,76 @@ class NorthStarChain:
     def stft_plan(self) -> STFT:
         return STFT(self.nfft, self.hop, self.window)
 
+    def _tiled_handoff_ok(self, n_in: int) -> bool:
+        """True when the head's banded segments can feed the packed STFT
+        kernel zero-copy: b_out == hop, whole blocks, packed geometry, and
+        enough segments for the STFT's lane windows."""
+        import math as _math
+        from vv_dsp_tpu.ops import pallas_fft as _pf
+        from vv_dsp_tpu.ops import pallas_upfirdn as _pu
+        from vv_dsp_tpu.ops import resample as _rs
+        if jax.default_backend() != "tpu" or not self.fused_head:
+            return False
+        if not _pf.stft_mel_packed_supported(self.nfft, self.hop):
+            return False
+        g = _math.gcd(self.up, self.down)
+        up, down = self.up // g, self.down // g
+        if up == 1 and down == 1:
+            return False
+        h_np = self.fir_coeffs.astype("float64")
+        gf, offset = _rs._fused_fir_resample_filter(tuple(h_np), up, down)
+        if not _pu.banded_supported(up, down, len(gf), offset):
+            return False
+        b_out = _pu.pick_b_out(up, down, len(gf), offset)
+        n_out = -(-n_in * up // down)
+        m0 = max(0, -(-(up * n_in - offset) // down))
+        if (b_out != self.hop or n_out % b_out
+                or not (0 < n_out - m0 <= 1024 and m0 > 0)):
+            return False
+        # STFT lane-window coverage: nblk_p >= nb
+        tk, q = 128, self.nfft // self.hop
+        nf = 1 if n_out < self.nfft else 1 + (n_out - self.nfft
+                                              + self.hop) // self.hop
+        nf_p = -(-nf // tk) * tk
+        lanes_p = -(-(tk + q - 1) // 128) * 128
+        nb = nf_p - tk + lanes_p
+        nblk_p = -(-(-(-n_out // b_out)) // 128) * 128 + 128
+        return nblk_p >= nb
+
     def __call__(self, x):
         """x: (channels, n) -> (channels, frames, n_mfcc)."""
         from vv_dsp_tpu.ops import pallas_kernels as _pk
         x = _promote_audio(x)
+        sr = self.sample_rate * self.up / self.down
+        if (x.ndim == 2 and not jnp.iscomplexobj(x)
+                and self._tiled_handoff_ok(x.shape[-1])):
+            # zero-copy tiled handoff: the banded head's raw segment layout
+            # IS the packed STFT kernel's input tiling (b_out == hop) — the
+            # head epilogue transpose and the STFT prologue transpose both
+            # vanish.  Backward runs the staged differentiable composite.
+            from vv_dsp_tpu.ops import pallas_fft as _pf
+            from vv_dsp_tpu.ops.resample import (fir_resample_fused,
+                                                 fir_resample_fused_tiled)
+            from vv_dsp_tpu.utils.kernel_grad import kernel_with_xla_vjp
+
+            def fast(xv):
+                y_t, _, vb, n_out = fir_resample_fused_tiled(
+                    self.fir_coeffs, xv, self.up, self.down,
+                    algorithm=self.head_algorithm)
+                return _pf.stft_mfcc_pallas_tiled(
+                    y_t, n_out, vb, self.nfft, self.hop, self.n_mels,
+                    self.n_mfcc, sr, window=self.window,
+                    algorithm=self.stft_algorithm)
+
+            def ref(xv):
+                y = fir_resample_fused(self.fir_coeffs, xv, self.up,
+                                       self.down,
+                                       algorithm=self.head_algorithm)
+                return _mel.mfcc_stft(y, self.nfft, self.hop, self.n_mels,
+                                      self.n_mfcc, sr, window=self.window,
+                                      algorithm=self.stft_algorithm)
+
+            return kernel_with_xla_vjp(fast, ref)(x)
         if self.fused_head:
             from vv_dsp_tpu.ops.resample import fir_resample_fused
             y = fir_resample_fused(self.fir_coeffs, x, self.up, self.down,
@@ -91,7 +157,6 @@ class NorthStarChain:
         else:
             y = _pk.fir_apply_best(self.fir_coeffs, x)
             y = _pk.resample_poly_best(y, self.up, self.down)
-        sr = self.sample_rate * self.up / self.down
         # best-path STFT->mel: fused Stockham Pallas kernel on TPU (no
         # frames/spectrum/power in HBM), power-parts matmuls otherwise
         return _mel.mfcc_stft(y, self.nfft, self.hop, self.n_mels,

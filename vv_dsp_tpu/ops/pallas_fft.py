@@ -297,7 +297,8 @@ def _stft_mel_packed_kernel(xt_hbm, we_ref, wo_ref, twr_ref, twi_ref,
                             dp_ref, dpr_ref, dpr0_ref, wkr_ref, wki_ref,
                             mel_ref, nyq_ref, *rest, m, mhop, q, tk, lanes_p,
                             n_stages, lstop, selfs, crosses, fuse_mfcc=False,
-                            log_eps=0.0, algorithm="f32"):
+                            log_eps=0.0, algorithm="f32",
+                            valid_blocks=None):
     if fuse_mfcc:
         dct_ref, out_ref, xv, sre_ref, sim_ref, sem = rest
     else:
@@ -312,7 +313,16 @@ def _stft_mel_packed_kernel(xt_hbm, we_ref, wo_ref, twr_ref, twi_ref,
     dma.start()
     dma.wait()
 
-    v = xv[:].reshape(mhop, 2, lanes_p)
+    xvv = xv[:]
+    if valid_blocks is not None:
+        # tiled-handoff inputs carry convolution tail past the signal in
+        # the lanes >= valid_blocks (the upstream banded kernel's extra
+        # segments) — the staged path zero-pads there, so mask for parity
+        lane = (jax.lax.broadcasted_iota(jnp.int32, (1, lanes_p), 1)
+                + fbk * tk)
+        xvv = jnp.where(lane < valid_blocks, xvv,
+                        jnp.zeros_like(xvv))
+    v = xvv.reshape(mhop, 2, lanes_p)
     xevv = v[:, 0, :]
     xovv = v[:, 1, :]
     for r in range(q):
@@ -339,7 +349,8 @@ def _stft_mel_packed_kernel(xt_hbm, we_ref, wo_ref, twr_ref, twi_ref,
 
 def _stft_mel_call_packed(x, nfft, hop, n_mels, sample_rate, window,
                           window_param, fmin, fmax, variant, interpret,
-                          dct_lift=None, log_eps=0.0, algorithm=None):
+                          dct_lift=None, log_eps=0.0, algorithm=None,
+                          x_tiled=None, n=None, valid_blocks=None):
     from vv_dsp_tpu.ops.window import get_window_np
 
     if interpret is None:
@@ -347,33 +358,50 @@ def _stft_mel_call_packed(x, nfft, hop, n_mels, sample_rate, window,
     if not stft_mel_packed_supported(nfft, hop):
         raise ValueError("unsupported geometry; "
                          "check stft_mel_packed_supported()")
-    if jnp.iscomplexobj(x):
-        raise TypeError("real input required")
-    if x.ndim != 2:
-        raise ValueError("expected (channels, n)")
-    x = config.as_compute(x)
-    if x.dtype != jnp.float32:
-        x = x.astype(jnp.float32)
     if fmax is None:
         fmax = sample_rate / 2.0
 
-    c, n = x.shape
     m = nfft // 2
     mhop = hop // 2
     q = nfft // hop
     tk = _TK
     lstop = min(_LSTOP, m)
     n_stages = (m // lstop).bit_length() - 1
-    nf = 1 if n < nfft else 1 + (n - nfft + hop) // hop
-    nf_p = _round_up(nf, tk)
     lanes_p = _round_up(tk + q - 1, 128)
-    nb = nf_p - tk + lanes_p
-    xp = jnp.pad(x, ((0, 0), (0, nb * hop - n)))
-    # plain interleaved hop-block tiling (identical to the unpacked
-    # kernel's prologue); the even/odd parity split happens in-kernel as a
-    # sublane deinterleave, which is ~free — every host-side XLA parity
-    # transpose measured ~2.3 ms (stride-2 minor emitters)
-    xt = jnp.swapaxes(xp.reshape(c, nb, hop), -1, -2)
+    if x_tiled is not None:
+        # zero-copy tiled handoff: x_tiled is the upstream banded kernel's
+        # raw (c, hop, nblk_p) segment layout — exactly this kernel's
+        # prologue output when the upstream b_out equals hop; lanes >=
+        # valid_blocks hold post-signal convolution tail and are masked
+        # in-kernel.  `n` is the logical signal length.
+        if x_tiled.ndim != 3 or x_tiled.shape[1] != hop:
+            raise ValueError("x_tiled must be (channels, hop, n_blocks)")
+        c = x_tiled.shape[0]
+        nf = 1 if n < nfft else 1 + (n - nfft + hop) // hop
+        nf_p = _round_up(nf, tk)
+        nb = nf_p - tk + lanes_p
+        if x_tiled.shape[2] < nb:
+            raise ValueError(f"x_tiled has {x_tiled.shape[2]} blocks; "
+                             f"geometry needs {nb}")
+        xt = x_tiled
+    else:
+        if jnp.iscomplexobj(x):
+            raise TypeError("real input required")
+        if x.ndim != 2:
+            raise ValueError("expected (channels, n)")
+        x = config.as_compute(x)
+        if x.dtype != jnp.float32:
+            x = x.astype(jnp.float32)
+        c, n = x.shape
+        nf = 1 if n < nfft else 1 + (n - nfft + hop) // hop
+        nf_p = _round_up(nf, tk)
+        nb = nf_p - tk + lanes_p
+        xp = jnp.pad(x, ((0, 0), (0, nb * hop - n)))
+        # plain interleaved hop-block tiling (identical to the unpacked
+        # kernel's prologue); the even/odd parity split happens in-kernel
+        # as a sublane deinterleave, which is ~free — every host-side XLA
+        # parity transpose measured ~2.3 ms (stride-2 minor emitters)
+        xt = jnp.swapaxes(xp.reshape(c, nb, hop), -1, -2)
 
     w_np = get_window_np(window, nfft, window_param).astype(np.float32)
     we = np.ascontiguousarray(w_np[0::2]).reshape(m, 1)
@@ -392,7 +420,7 @@ def _stft_mel_call_packed(x, nfft, hop, n_mels, sample_rate, window,
         _stft_mel_packed_kernel, m=m, mhop=mhop, q=q, tk=tk, lanes_p=lanes_p,
         n_stages=n_stages, lstop=lstop, selfs=tuple(selfs),
         crosses=tuple(crosses), fuse_mfcc=fuse, log_eps=float(log_eps),
-        algorithm=_dot_algorithm(algorithm))
+        algorithm=_dot_algorithm(algorithm), valid_blocks=valid_blocks)
     const = lambda shape: pl.BlockSpec(shape, lambda c, f: (0, 0),
                                        memory_space=pltpu.VMEM)
     in_specs = [
@@ -963,6 +991,37 @@ def stft_spectrum_packed(x, nfft: int, hop: int, window: str = "hann",
         return half
     from vv_dsp_tpu.ops import fft as _fftmod
     return _fftmod.hermitian_expand(half, nfft)
+
+
+def stft_mfcc_pallas_tiled(x_tiled, n: int, valid_blocks: int, nfft: int,
+                           hop: int, n_mels: int, n_mfcc: int,
+                           sample_rate: float, window: str = "hann",
+                           window_param=None, fmin: float = 0.0,
+                           fmax: float | None = None,
+                           log_epsilon: float = 1e-10, lifter: float = 0.0,
+                           variant: str = "htk",
+                           interpret: bool | None = None,
+                           algorithm: str | None = None):
+    """stft_mfcc_pallas on a ZERO-COPY tiled handoff input: x_tiled is the
+    upstream banded kernel's raw (channels, hop, n_blocks) segment layout
+    (fir_resample_fused_tiled) covering a logical signal of n samples in
+    the first valid_blocks segments.  Skips both the upstream epilogue
+    transpose and this kernel's prologue transpose."""
+    from vv_dsp_tpu.ops.dct import _dct2_matrix
+    from vv_dsp_tpu.ops.mel import _lifter_np
+
+    mels_p = _round_up(n_mels, 128)
+    d = np.zeros((mels_p, mels_p), np.float32)
+    dm = _dct2_matrix(n_mels)[:n_mfcc] * _lifter_np(n_mfcc,
+                                                    float(lifter))[:, None]
+    d[:n_mfcc, :n_mels] = dm.astype(np.float32)
+    out, nf = _stft_mel_call_packed(None, nfft, hop, n_mels, sample_rate,
+                                    window, window_param, fmin, fmax,
+                                    variant, interpret, dct_lift=d,
+                                    log_eps=log_epsilon,
+                                    algorithm=algorithm, x_tiled=x_tiled,
+                                    n=n, valid_blocks=valid_blocks)
+    return out[:, :nf, :n_mfcc]
 
 
 def stft_mel_supported(nfft: int, hop: int, n: int | None = None) -> bool:

@@ -136,7 +136,8 @@ def _kern(x_main, x_next, w_ref, out_ref, ext, *, b_in, k_wp, n_roll,
 def upfirdn_banded_pallas(x, g, up: int, down: int, offset: int, n_out: int,
                           b_out: int | None = None,
                           interpret: bool | None = None,
-                          algorithm: str | None = None):
+                          algorithm: str | None = None,
+                          tiled_output: bool = False):
     """y[k] = sum_j x[j] g[offset + k*down - j*up], k in [0, n_out);
     x: (channels, n) f32, g: host-side taps. Zero-padded edges (the
     _upfirdn_gather semantics); sample-exact vs it (tested).
@@ -198,5 +199,13 @@ def upfirdn_banded_pallas(x, g, up: int, down: int, offset: int, n_out: int,
         ],
         interpret=interpret,
     )(xt, xt, jnp.asarray(w_arr))
+    if tiled_output:
+        # raw segment-tiled layout (c, b_out, nblk_p): segment m holds
+        # outputs [m*b_out, (m+1)*b_out) — when b_out equals a downstream
+        # kernel's hop this IS its input tiling, so the epilogue transpose
+        # AND that kernel's prologue transpose both vanish (the chain's
+        # tiled handoff).  Segments >= ceil(n_out/b_out) hold the
+        # convolution tail past n_out, NOT zeros — consumers must mask.
+        return out
     y = jnp.swapaxes(out, -1, -2).reshape(c_, nblk_p * b_out)
     return y[:, :n_out]

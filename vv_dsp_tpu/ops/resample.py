@@ -402,6 +402,55 @@ def _fused_fir_resample_filter(fir_key, up: int, down: int):
     return np.convolve(up_f, h_r), (len(h_r) - 1) // 2
 
 
+def fir_resample_fused_tiled(h_fir, x, up: int, down: int,
+                             algorithm: str | None = None):
+    """Fused FIR+resample head emitting the banded kernel's raw
+    segment-tiled layout for a zero-copy handoff into the packed STFT
+    kernels: returns (y_tiled (c, b_out, nblk_p), b_out, valid_blocks,
+    n_out) — same numbers as fir_resample_fused (staged-tail correction
+    included, applied in tiled layout) — or None when the handoff doesn't
+    apply (off-TPU, non-2-D, unsupported band geometry, or
+    n_out % b_out != 0).  Segments >= valid_blocks hold convolution tail
+    past n_out and must be masked to zero by the consumer."""
+    x = config.as_compute(x)
+    if x.ndim != 2 or jax.default_backend() != "tpu":
+        return None
+    g = math.gcd(up, down)
+    up //= g
+    down //= g
+    if up == 1 and down == 1:
+        return None
+    h_np = np.asarray(h_fir, dtype=np.float64)
+    n_in = x.shape[-1]
+    n_out = -(-n_in * up // down)
+    gf, offset = _fused_fir_resample_filter(tuple(h_np), up, down)
+    from vv_dsp_tpu.ops import pallas_upfirdn as _pu
+    if not _pu.banded_supported(up, down, len(gf), offset):
+        return None
+    b_out = _pu.pick_b_out(up, down, len(gf), offset)
+    if n_out % b_out:
+        return None
+    m0 = max(0, -(-(up * n_in - offset) // down))
+    n_tail = n_out - m0
+    if not (0 < n_tail <= 1024 and m0 > 0):
+        return None
+    y_t = _pu.upfirdn_banded_pallas(x, gf, up, down, offset, n_out,
+                                    algorithm=algorithm, tiled_output=True)
+    # exact staged tail correction, written into the tiled layout
+    wt, jw0 = _staged_tail_matrix(tuple(h_np), up, down, offset,
+                                  n_in, m0, n_tail)
+    xw = x[..., max(0, jw0):]
+    tail = jnp.einsum("...j,mj->...m", xw,
+                      jnp.asarray(wt[:, :xw.shape[-1]], dtype=x.dtype),
+                      precision=config.MATMUL_PRECISION)
+    for b in range(m0 // b_out, (n_out - 1) // b_out + 1):
+        r0 = max(m0 - b * b_out, 0)
+        r1 = min(n_out - b * b_out, b_out)
+        t0 = b * b_out + r0 - m0
+        y_t = y_t.at[:, r0:r1, b].set(tail[:, t0:t0 + (r1 - r0)])
+    return y_t, b_out, n_out // b_out, n_out
+
+
 def fir_resample_fused(h_fir, x, up: int, down: int,
                        group: int | None = None,
                        algorithm: str | None = None):
