@@ -643,12 +643,96 @@ def stft_power_packed(x, nfft: int, hop: int, window: str = "hann",
     )(xt, jnp.asarray(we), jnp.asarray(wo), jnp.asarray(twr),
       jnp.asarray(twi), jnp.asarray(dp), jnp.asarray(dpr),
       jnp.asarray(dpr0), jnp.asarray(wkr), jnp.asarray(wki))
-    bins = _packed_storage_bins(m, lstop, m_pad)
-    inv = np.zeros(m + 1, dtype=np.int64)
-    inv[bins[bins >= 0]] = np.nonzero(bins >= 0)[0]
-    idx = jnp.asarray(inv)
     pw = jnp.swapaxes(out, -1, -2)[:, :nf, :]
-    return jnp.take(pw, idx, axis=-1)
+    return _packed_natural_onesided(pw, m, lstop)
+
+
+@functools.lru_cache(maxsize=16)
+def _packed_residue_plan(m: int, lstop: int):
+    """Per-residue (block_index, ascending) table when the packed storage
+    rows are blockwise-affine in bin index: storage block j (rows
+    [j*lstop, (j+1)*lstop)) holds bins start_j +/- i*nb, nb = m//lstop.
+    Measured fact exploited by the natural-order epilogues below: a bin
+    reorder that is aligned slices + reverses + ONE interleaving stack
+    costs one fused XLA pass (~0.27 ms at 1024/256, 16ch x 480k on v5e)
+    where the equivalent jnp.take gather costs 0.8-1.1 ms. Returns None
+    when the structure doesn't hold (callers fall back to the gather)."""
+    bins = _packed_storage_bins(m, lstop, m + 8)
+    nb = m // lstop
+    if nb < 1 or bins[m] != m:
+        return None
+    plan = {}
+    for j in range(nb):
+        blk = bins[j * lstop:(j + 1) * lstop]
+        if lstop > 1:
+            d = np.unique(np.diff(blk))
+            if len(d) != 1 or abs(int(d[0])) != nb:
+                return None
+            asc = int(d[0]) > 0
+        else:
+            asc = True
+        r = int(blk[0] % nb) if asc else int(blk[-1] % nb)
+        if r in plan or blk.min() % nb != r:
+            return None
+        plan[r] = (j, asc)
+    if sorted(plan) != list(range(nb)):
+        return None
+    return tuple(plan[r] for r in range(nb))
+
+
+def _packed_natural_onesided(pw, m: int, lstop: int):
+    """(..., m_pad storage rows) -> (..., m+1) natural bins, gather-free
+    when the residue structure holds (one interleaving stack pass)."""
+    plan = _packed_residue_plan(m, lstop)
+    if plan is None:
+        bins = _packed_storage_bins(m, lstop, pw.shape[-1])
+        inv = np.zeros(m + 1, dtype=np.int64)
+        inv[bins[bins >= 0]] = np.nonzero(bins >= 0)[0]
+        return jnp.take(pw, jnp.asarray(inv), axis=-1)
+    seqs = []
+    for j, asc in plan:
+        s = pw[..., j * lstop:(j + 1) * lstop]
+        seqs.append(s if asc else s[..., ::-1])
+    nat = jnp.stack(seqs, axis=-1).reshape(*pw.shape[:-1], m)
+    return jnp.concatenate([nat, pw[..., m:m + 1]], axis=-1)
+
+
+def _packed_natural_full(pw_re, pw_im, m: int, lstop: int):
+    """Storage-row (re, im) planes -> (..., 2m) natural-order FULL complex
+    spectrum, with the Hermitian mirror (X[2m-k] = conj(X[k])) folded into
+    the same single interleaving pass: residue-r lane of the full spectrum
+    is [block_r ; reversed conj block_{nb-r}] (residue 0 threads the
+    Nyquist row between its own block and its own reversed mirror)."""
+    plan = _packed_residue_plan(m, lstop)
+    if plan is None:
+        half = jax.lax.complex(_packed_natural_onesided(pw_re, m, lstop),
+                               _packed_natural_onesided(pw_im, m, lstop))
+        from vv_dsp_tpu.ops import fft as _fftmod
+        return _fftmod.hermitian_expand(half, 2 * m)
+    nb = m // lstop
+
+    def blk(p, r):
+        j, asc = plan[r]
+        s = p[..., j * lstop:(j + 1) * lstop]
+        return s if asc else s[..., ::-1]
+
+    seq_re, seq_im = [], []
+    for r in range(nb):
+        br, bi = blk(pw_re, r), blk(pw_im, r)
+        if r == 0:
+            sr = jnp.concatenate([br, pw_re[..., m:m + 1],
+                                  br[..., 1:][..., ::-1]], -1)
+            si = jnp.concatenate([bi, pw_im[..., m:m + 1],
+                                  -bi[..., 1:][..., ::-1]], -1)
+        else:
+            mr, mi = blk(pw_re, nb - r), blk(pw_im, nb - r)
+            sr = jnp.concatenate([br, mr[..., ::-1]], -1)
+            si = jnp.concatenate([bi, -mi[..., ::-1]], -1)
+        seq_re.append(sr)
+        seq_im.append(si)
+    fr = jnp.stack(seq_re, axis=-1).reshape(*pw_re.shape[:-1], 2 * m)
+    fi = jnp.stack(seq_im, axis=-1).reshape(*pw_im.shape[:-1], 2 * m)
+    return jax.lax.complex(fr, fi)
 
 
 @functools.lru_cache(maxsize=16)
@@ -979,18 +1063,17 @@ def stft_spectrum_packed(x, nfft: int, hop: int, window: str = "hann",
       jnp.asarray(twi), jnp.asarray(dp), jnp.asarray(dpr),
       jnp.asarray(dpr0), jnp.asarray(wkr), jnp.asarray(wki))
 
-    # one-sided natural bins 0..m via the storage-row inverse map
-    bins = _packed_storage_bins(m, lstop, m_pad)
-    inv = np.zeros(m + 1, dtype=np.int64)
-    inv[bins[bins >= 0]] = np.nonzero(bins >= 0)[0]
-    idx = jnp.asarray(inv)
-    re_n = jnp.take(jnp.swapaxes(re, -1, -2)[:, :nf, :], idx, axis=-1)
-    im_n = jnp.take(jnp.swapaxes(im, -1, -2)[:, :nf, :], idx, axis=-1)
-    half = jax.lax.complex(re_n, im_n)
+    # natural bin order, gather-free: aligned slices + one interleaving
+    # stack (the storage rows are blockwise-affine in bin — see
+    # _packed_residue_plan); the two-sided form folds the Hermitian mirror
+    # into the SAME pass, so the full c2c spectrum costs one epilogue pass
+    # instead of gather + expand (measured 0.27 ms vs 0.82 ms at 1024/256)
+    pw_re = jnp.swapaxes(re, -1, -2)[:, :nf, :]
+    pw_im = jnp.swapaxes(im, -1, -2)[:, :nf, :]
     if onesided:
-        return half
-    from vv_dsp_tpu.ops import fft as _fftmod
-    return _fftmod.hermitian_expand(half, nfft)
+        return jax.lax.complex(_packed_natural_onesided(pw_re, m, lstop),
+                               _packed_natural_onesided(pw_im, m, lstop))
+    return _packed_natural_full(pw_re, pw_im, m, lstop)
 
 
 def stft_mfcc_pallas_tiled(x_tiled, n: int, valid_blocks: int, nfft: int,
