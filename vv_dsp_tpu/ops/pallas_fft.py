@@ -735,6 +735,83 @@ def _packed_natural_full(pw_re, pw_im, m: int, lstop: int):
     return jax.lax.complex(fr, fi)
 
 
+def _packed_storage_from_natural(nat, m: int, lstop: int, m_pad: int):
+    """Inverse of _packed_natural_onesided: natural (..., m+1) bins ->
+    (..., m_pad) storage rows, gather-free when the residue structure
+    holds (block j = strided slice at its residue, reversed when the
+    block descends; dead rows m+1.. replicate bin 0, matching the
+    where(src>=0, src, 0) gather they replace)."""
+    plan = _packed_residue_plan(m, lstop)
+    if plan is None:
+        src = _packed_storage_bins(m, lstop, m_pad)
+        idx = jnp.asarray(np.where(src >= 0, src, 0))
+        return jnp.take(nat, idx, axis=-1)
+    nb = m // lstop
+    blocks = [None] * nb
+    for r in range(nb):
+        j, asc = plan[r]
+        s = nat[..., r: r + nb * lstop: nb]
+        blocks[j] = s if asc else s[..., ::-1]
+    dead = jnp.broadcast_to(nat[..., 0:1], (*nat.shape[:-1], m_pad - m - 1))
+    return jnp.concatenate([*blocks, nat[..., m:m + 1], dead], axis=-1)
+
+
+def _stockham_storage_from_natural(nat, nfft: int, lstop: int,
+                                   hermitian: bool, negate_mirror: bool):
+    """Inverse of _stockham_natural: natural bins -> plain-Stockham storage
+    rows (row p = lstop*b + k holds bin k*nb + bitrev(b)).  With
+    hermitian=True, nat has nfft//2+1 bins and rows for bins above nfft/2
+    take the mirror bin nfft-b (negate_mirror flips their sign — the
+    conjugate, applied to the imag plane)."""
+    nb = nfft // lstop
+    brv = _bitrev_perm(nb)
+    half = lstop // 2
+    blocks = []
+    for b in range(nb):
+        r = int(brv[b])
+        if not hermitian:
+            blocks.append(nat[..., r::nb])
+            continue
+        lower = nat[..., r: r + nb * half: nb]         # k < lstop/2
+        if r == 0:
+            nyq = nat[..., nfft // 2: nfft // 2 + 1]   # k = lstop/2
+            mirror = lower[..., 1:][..., ::-1]          # k > lstop/2
+        else:
+            rm = nb - r
+            mirror_src = nat[..., rm: rm + nb * half: nb]
+            # k = lstop/2: bin m + r -> mirror bin m - r = element
+            # lstop/2 - 1 of the residue-(nb-r) slice; k > lstop/2 walk
+            # down from there
+            mirror = mirror_src[..., ::-1]
+        if negate_mirror:
+            mirror = -mirror
+        if r == 0:
+            blocks.append(jnp.concatenate([lower, nyq, mirror], axis=-1))
+        else:
+            blocks.append(jnp.concatenate([lower, mirror], axis=-1))
+    return jnp.concatenate(blocks, axis=-1)
+
+
+def _stockham_natural(pw, nfft: int, lstop: int, onesided: bool):
+    """Plain-Stockham storage rows -> natural bin order, gather-free.
+    Row p = lstop*b + k holds bin k*nb + bitrev(b) (module docstring), so
+    storage block b is an ascending stride-nb run at residue bitrev(b):
+    the reorder is aligned slices + one interleaving stack, one fused XLA
+    pass instead of a jnp.take gather (same finding as
+    _packed_residue_plan)."""
+    nb = nfft // lstop
+    brv = _bitrev_perm(nb)
+    if onesided:
+        half = lstop // 2
+        seqs = [pw[..., brv[r] * lstop: brv[r] * lstop + half]
+                for r in range(nb)]
+        nat = jnp.stack(seqs, axis=-1).reshape(*pw.shape[:-1], nfft // 2)
+        nyq = pw[..., brv[0] * lstop + half: brv[0] * lstop + half + 1]
+        return jnp.concatenate([nat, nyq], axis=-1)
+    seqs = [pw[..., brv[r] * lstop: (brv[r] + 1) * lstop] for r in range(nb)]
+    return jnp.stack(seqs, axis=-1).reshape(*pw.shape[:-1], nfft)
+
+
 @functools.lru_cache(maxsize=16)
 def _packed_storage_bins(m: int, lstop: int, m_pad: int) -> np.ndarray:
     """bin held by each packed-storage output row (rows m..m_pad-1 are
@@ -919,10 +996,10 @@ def istft_packed(spec, nfft: int, hop: int, output_len: int,
         if bins != nfft:
             raise ValueError("rfft=False expects nfft bins")
         half = spec[..., : m + 1]
-    src = _packed_storage_bins(m, lstop, m_pad)
-    idx = jnp.asarray(np.where(src >= 0, src, 0))
-    re_n = jnp.take(jnp.real(half), idx, axis=-1).astype(jnp.float32)
-    im_n = jnp.take(jnp.imag(half), idx, axis=-1).astype(jnp.float32)
+    re_n = _packed_storage_from_natural(jnp.real(half), m, lstop,
+                                        m_pad).astype(jnp.float32)
+    im_n = _packed_storage_from_natural(jnp.imag(half), m, lstop,
+                                        m_pad).astype(jnp.float32)
 
     nf_p = _round_up(nf, tk) + tk  # +tk: final frames' OLA spill
     re_t = jnp.swapaxes(jnp.pad(re_n, ((0, 0), (0, nf_p - nf), (0, 0))),
@@ -1260,10 +1337,9 @@ def stft_power_stockham(x, nfft: int, hop: int, window: str = "hann",
         interpret=interpret,
     )(xt, jnp.asarray(w_np.reshape(nfft, 1)), jnp.asarray(twr),
       jnp.asarray(twi), jnp.asarray(dp))
-    # natural one-sided bins: bin k sits at row inv_perm[k]
-    inv = np.argsort(row_to_bin_perm(nfft, lstop))[: nfft // 2 + 1]
+    # natural one-sided bins, gather-free (see _stockham_natural)
     pw = jnp.swapaxes(out, -1, -2)[:, :nf, :]
-    return jnp.take(pw, jnp.asarray(inv), axis=-1)
+    return _stockham_natural(pw, nfft, lstop, onesided=True)
 
 
 def _spectrum_kernel(xt_hbm, w_ref, twr_ref, twi_ref, dp_ref, re_ref, im_ref,
@@ -1359,12 +1435,10 @@ def stft_spectrum_stockham(x, nfft: int, hop: int, window: str = "hann",
         interpret=interpret,
     )(xt, jnp.asarray(w_np.reshape(nfft, 1)), jnp.asarray(twr),
       jnp.asarray(twi), jnp.asarray(dp))
-    inv = np.argsort(row_to_bin_perm(nfft, lstop))
-    if onesided:
-        inv = inv[: nfft // 2 + 1]
-    idx = jnp.asarray(inv)
-    re = jnp.take(jnp.swapaxes(re, -1, -2)[:, :nf, :], idx, axis=-1)
-    im = jnp.take(jnp.swapaxes(im, -1, -2)[:, :nf, :], idx, axis=-1)
+    re = _stockham_natural(jnp.swapaxes(re, -1, -2)[:, :nf, :], nfft,
+                           lstop, onesided)
+    im = _stockham_natural(jnp.swapaxes(im, -1, -2)[:, :nf, :], nfft,
+                           lstop, onesided)
     return jax.lax.complex(re, im)
 
 
@@ -1945,21 +2019,20 @@ def istft_stockham(spec, nfft: int, hop: int, output_len: int,
     # permuted full-spectrum rows from the (possibly Hermitian-packed)
     # input: row p holds bin b = perm[p]; for packed input, bins above
     # nfft//2 come from the conjugate mirror
-    perm = row_to_bin_perm(nfft, lstop)
     if rfft:
         if bins != nfft // 2 + 1:
             raise ValueError("rfft=True expects nfft//2+1 bins")
-        src = np.where(perm <= nfft // 2, perm, nfft - perm)
-        sgn = np.where(perm <= nfft // 2, 1.0, -1.0).astype(np.float32)
-        re_n = jnp.take(jnp.real(spec), jnp.asarray(src), axis=-1)
-        im_n = jnp.take(jnp.imag(spec), jnp.asarray(src), axis=-1) \
-            * jnp.asarray(sgn)
+        re_n = _stockham_storage_from_natural(jnp.real(spec), nfft, lstop,
+                                              True, False)
+        im_n = _stockham_storage_from_natural(jnp.imag(spec), nfft, lstop,
+                                              True, True)
     else:
         if bins != nfft:
             raise ValueError("rfft=False expects nfft bins")
-        idx = jnp.asarray(perm)
-        re_n = jnp.take(jnp.real(spec), idx, axis=-1)
-        im_n = jnp.take(jnp.imag(spec), idx, axis=-1)
+        re_n = _stockham_storage_from_natural(jnp.real(spec), nfft, lstop,
+                                              False, False)
+        im_n = _stockham_storage_from_natural(jnp.imag(spec), nfft, lstop,
+                                              False, False)
     re_n = re_n.astype(jnp.float32)
     im_n = im_n.astype(jnp.float32)
 
