@@ -52,6 +52,20 @@ _LSTOP = 64  # butterfly/matmul split point (see module docstring)
 _TK = 128    # frames per grid step (lane width)
 
 
+def _pick_tk(nf: int, bytes_per_tk: int, fixed_bytes: int = 0,
+             budget: int = 12 * 2 ** 20) -> int:
+    """Frames-per-grid-step: wider tiles amortize per-step latency and feed
+    the tail matmuls larger N (measured +10% at tk=512 vs 128 on the
+    1024/256 spectrum, v5e), capped by a VMEM budget and by the padded
+    frame count (nf_p rounds UP to tk - short signals stay at 128)."""
+    for tk in (512, 384, 256, 128):
+        if tk > 128 and tk > _round_up(max(nf, 1), 128):
+            continue
+        if fixed_bytes + tk * bytes_per_tk <= budget:
+            return tk
+    return 128
+
+
 from vv_dsp_tpu.ops.pallas_kernels import (_kernel_precision, _on_tpu,
                                             _round_up,
                                             dot_alg as _dot_alg,
@@ -364,7 +378,13 @@ def _stft_mel_call_packed(x, nfft, hop, n_mels, sample_rate, window,
     m = nfft // 2
     mhop = hop // 2
     q = nfft // hop
-    tk = _TK
+    if x_tiled is not None or jnp.iscomplexobj(x) or x.ndim != 2:
+        tk = _TK   # tiled-handoff geometry is negotiated at tk=128
+    else:
+        nf0 = 1 if x.shape[-1] < nfft \
+            else 1 + (x.shape[-1] - nfft + hop) // hop
+        tk = _pick_tk(nf0, 4 * (2 * m + 4 * 128 + hop),
+                      fixed_bytes=4 * 128 * hop + 2 ** 20)
     lstop = min(_LSTOP, m)
     n_stages = (m // lstop).bit_length() - 1
     lanes_p = _round_up(tk + q - 1, 128)
@@ -595,10 +615,11 @@ def stft_power_packed(x, nfft: int, hop: int, window: str = "hann",
     m = nfft // 2
     mhop = hop // 2
     q = nfft // hop
-    tk = _TK
+    nf = 1 if n < nfft else 1 + (n - nfft + hop) // hop
+    tk = _pick_tk(nf, 4 * (2 * m + 4 * (m + 8) + hop),
+                  fixed_bytes=4 * 128 * hop + 2 ** 20)
     lstop = min(_LSTOP, m)
     n_stages = (m // lstop).bit_length() - 1
-    nf = 1 if n < nfft else 1 + (n - nfft + hop) // hop
     nf_p = _round_up(nf, tk)
     lanes_p = _round_up(tk + q - 1, 128)
     nb = nf_p - tk + lanes_p
@@ -1089,10 +1110,11 @@ def stft_spectrum_packed(x, nfft: int, hop: int, window: str = "hann",
     m = nfft // 2
     mhop = hop // 2
     q = nfft // hop
-    tk = _TK
+    nf = 1 if n < nfft else 1 + (n - nfft + hop) // hop
+    tk = _pick_tk(nf, 4 * (2 * m + 4 * (m + 8) + hop),
+                  fixed_bytes=4 * 128 * hop + 2 ** 20)
     lstop = min(_LSTOP, m)
     n_stages = (m // lstop).bit_length() - 1
-    nf = 1 if n < nfft else 1 + (n - nfft + hop) // hop
     nf_p = _round_up(nf, tk)
     lanes_p = _round_up(tk + q - 1, 128)
     nb = nf_p - tk + lanes_p
@@ -1295,10 +1317,11 @@ def stft_power_stockham(x, nfft: int, hop: int, window: str = "hann",
         x = x.astype(jnp.float32)
     c, n = x.shape
     q = nfft // hop
-    tk = _TK
+    nf = 1 if n < nfft else 1 + (n - nfft + hop) // hop
+    tk = _pick_tk(nf, 4 * (6 * nfft + hop),
+                  fixed_bytes=4 * 128 * hop + 2 ** 20)
     lstop = min(_LSTOP, nfft)
     n_stages = (nfft // lstop).bit_length() - 1
-    nf = 1 if n < nfft else 1 + (n - nfft + hop) // hop
     nf_p = _round_up(nf, tk)
     lanes_p = _round_up(tk + q - 1, 128)
     nb = nf_p - tk + lanes_p
@@ -1391,10 +1414,11 @@ def stft_spectrum_stockham(x, nfft: int, hop: int, window: str = "hann",
         x = x.astype(jnp.float32)
     c, n = x.shape
     q = nfft // hop
-    tk = _TK
+    nf = 1 if n < nfft else 1 + (n - nfft + hop) // hop
+    tk = _pick_tk(nf, 4 * (6 * nfft + hop),
+                  fixed_bytes=4 * 128 * hop + 2 ** 20)
     lstop = min(_LSTOP, nfft)
     n_stages = (nfft // lstop).bit_length() - 1
-    nf = 1 if n < nfft else 1 + (n - nfft + hop) // hop
     nf_p = _round_up(nf, tk)
     lanes_p = _round_up(tk + q - 1, 128)
     nb = nf_p - tk + lanes_p
@@ -2116,10 +2140,11 @@ def _stft_mel_call(x, nfft, hop, n_mels, sample_rate, window, window_param,
 
     c, n = x.shape
     q = nfft // hop
-    tk = _TK
+    nf = 1 if n < nfft else 1 + (n - nfft + hop) // hop
+    tk = _pick_tk(nf, 4 * (2 * nfft + 4 * 128 + hop),
+                  fixed_bytes=4 * 128 * hop + 2 ** 20)
     lstop = min(_LSTOP, nfft)
     n_stages = (nfft // lstop).bit_length() - 1
-    nf = 1 if n < nfft else 1 + (n - nfft + hop) // hop
     nf_p = _round_up(nf, tk)
     lanes_p = _round_up(tk + q - 1, 128)
     nb = nf_p - tk + lanes_p
