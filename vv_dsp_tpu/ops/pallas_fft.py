@@ -378,8 +378,23 @@ def _stft_mel_call_packed(x, nfft, hop, n_mels, sample_rate, window,
     m = nfft // 2
     mhop = hop // 2
     q = nfft // hop
-    if x_tiled is not None or jnp.iscomplexobj(x) or x.ndim != 2:
-        tk = _TK   # tiled-handoff geometry is negotiated at tk=128
+    if x_tiled is not None:
+        # tiled handoff: widen tk only when the upstream banded kernel
+        # already produced enough segment lanes (nb(tk) <= its nblk_p) —
+        # the handoff contract is validated downstream at the tk chosen
+        # here, and tk=128 is always feasible (the pipeline gate checks it)
+        nf0 = 1 if n < nfft else 1 + (n - nfft + hop) // hop
+        tk = _TK
+        for cand in (512, 384, 256):
+            lanes_c = _round_up(cand + q - 1, 128)
+            nb_c = _round_up(nf0, cand) - cand + lanes_c
+            vmem = 4 * cand * (2 * m + 4 * 128 + hop) \
+                + 4 * 128 * hop + 2 ** 20
+            if nb_c <= x_tiled.shape[2] and vmem <= 12 * 2 ** 20:
+                tk = cand
+                break
+    elif jnp.iscomplexobj(x) or x.ndim != 2:
+        tk = _TK
     else:
         nf0 = 1 if x.shape[-1] < nfft \
             else 1 + (x.shape[-1] - nfft + hop) // hop
