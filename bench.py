@@ -32,7 +32,10 @@ from jax import lax
 
 BASELINE_STFT_MSPS = 6.38   # reference STFT 1024-pt throughput (BASELINE.md)
 BASELINE_CHAIN_MSPS = 0.9   # reference chain on this host's CPU (PERFORMANCE.md)
-ITERS = 200
+# 400 in-loop iterations leave ~0.06 ms/iter of residual per-call dispatch
+# on a 1 ms-class op (~6% bias, was ~12% at 200); the overhead is per CALL,
+# not per iteration — see the module docstring and docs/PERFORMANCE.md.
+ITERS = 400
 
 
 def chain_time(step, x, iters: int = ITERS) -> float:

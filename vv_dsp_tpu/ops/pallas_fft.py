@@ -53,13 +53,18 @@ _TK = 128    # frames per grid step (lane width)
 
 
 def _pick_tk(nf: int, bytes_per_tk: int, fixed_bytes: int = 0,
-             budget: int = 12 * 2 ** 20) -> int:
+             budget: int = 12 * 2 ** 20, cap: int = 512) -> int:
     """Frames-per-grid-step: wider tiles amortize per-step latency and feed
     the tail matmuls larger N (measured +10% at tk=512 vs 128 on the
-    1024/256 spectrum, v5e), capped by a VMEM budget and by the padded
-    frame count (nf_p rounds UP to tk - short signals stay at 128)."""
-    for tk in (512, 384, 256, 128):
-        if tk > 128 and tk > _round_up(max(nf, 1), 128):
+    1024/256 spectrum and a further +4% at 768 vs 512 on the chain's
+    2048/512 mel kernel, v5e), capped by a VMEM budget and by the padded
+    frame count (nf_p rounds UP to tk - short signals stay at 128).
+    The per-kernel `cap` matters: the mel/MFCC kernels (tiny out tiles)
+    measure fastest at 768, while the spectrum/power kernels (full
+    (m_pad, tk) out tiles, double-buffered) REGRESS ~25% beyond 512 —
+    as does everything at 1024 (VMEM pressure kills the pipelining)."""
+    for tk in (768, 640, 512, 384, 256, 128):
+        if tk > cap or (tk > 128 and tk > _round_up(max(nf, 1), 128)):
             continue
         if fixed_bytes + tk * bytes_per_tk <= budget:
             return tk
@@ -385,7 +390,7 @@ def _stft_mel_call_packed(x, nfft, hop, n_mels, sample_rate, window,
         # here, and tk=128 is always feasible (the pipeline gate checks it)
         nf0 = 1 if n < nfft else 1 + (n - nfft + hop) // hop
         tk = _TK
-        for cand in (512, 384, 256):
+        for cand in (768, 640, 512, 384, 256):
             lanes_c = _round_up(cand + q - 1, 128)
             nb_c = _round_up(nf0, cand) - cand + lanes_c
             vmem = 4 * cand * (2 * m + 4 * 128 + hop) \
@@ -399,7 +404,7 @@ def _stft_mel_call_packed(x, nfft, hop, n_mels, sample_rate, window,
         nf0 = 1 if x.shape[-1] < nfft \
             else 1 + (x.shape[-1] - nfft + hop) // hop
         tk = _pick_tk(nf0, 4 * (2 * m + 4 * 128 + hop),
-                      fixed_bytes=4 * 128 * hop + 2 ** 20)
+                      fixed_bytes=4 * 128 * hop + 2 ** 20, cap=768)
     lstop = min(_LSTOP, m)
     n_stages = (m // lstop).bit_length() - 1
     lanes_p = _round_up(tk + q - 1, 128)
@@ -2157,7 +2162,7 @@ def _stft_mel_call(x, nfft, hop, n_mels, sample_rate, window, window_param,
     q = nfft // hop
     nf = 1 if n < nfft else 1 + (n - nfft + hop) // hop
     tk = _pick_tk(nf, 4 * (2 * nfft + 4 * 128 + hop),
-                  fixed_bytes=4 * 128 * hop + 2 ** 20)
+                  fixed_bytes=4 * 128 * hop + 2 ** 20, cap=768)
     lstop = min(_LSTOP, nfft)
     n_stages = (nfft // lstop).bit_length() - 1
     nf_p = _round_up(nf, tk)
