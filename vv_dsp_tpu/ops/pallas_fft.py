@@ -1024,6 +1024,10 @@ def istft_packed(spec, nfft: int, hop: int, output_len: int,
     c, nf, bins = spec.shape
     m = nfft // 2
     q = nfft // hop
+    # tk stays at 128 here: widening the INVERSE kernels' frame tiles
+    # measured ~12% SLOWER at 1024/256 (the OLA strip output and the
+    # (m_pad, tk) input DMAs grow with tk and dominate) — unlike the
+    # forward kernels, where 512-768 wins
     tk = _TK
     lstop = min(_LSTOP, m)
     n_stages = (m // lstop).bit_length() - 1
@@ -1743,10 +1747,10 @@ def stft_gate_packed(x, nfft: int, hop: int, threshold: float,
     m = nfft // 2
     mhop = hop // 2
     q = nfft // hop
-    tk = _TK
+    nf = 1 if n < nfft else 1 + (n - nfft + hop) // hop
+    tk = _TK   # fused fwd+inv: the inverse half's strip economics dominate
     lstop = min(_LSTOP, m)
     n_stages = (m // lstop).bit_length() - 1
-    nf = 1 if n < nfft else 1 + (n - nfft + hop) // hop
     nf_p = _round_up(nf, tk)
     lanes_p = _round_up(tk + q - 1, 128)
     nb = nf_p - tk + lanes_p
@@ -1916,10 +1920,10 @@ def stft_gate_pallas(x, nfft: int, hop: int, threshold: float,
         x = x.astype(jnp.float32)
     c, n = x.shape
     q = nfft // hop
-    tk = _TK
+    nf = 1 if n < nfft else 1 + (n - nfft + hop) // hop
+    tk = _TK   # fused fwd+inv: the inverse half's strip economics dominate
     lstop = min(_LSTOP, nfft)
     n_stages = (nfft // lstop).bit_length() - 1
-    nf = 1 if n < nfft else 1 + (n - nfft + hop) // hop
     nf_p = _round_up(nf, tk)
     lanes_p = _round_up(tk + q - 1, 128)
     nb = nf_p - tk + lanes_p
@@ -2056,7 +2060,7 @@ def istft_stockham(spec, nfft: int, hop: int, output_len: int,
         raise ValueError("expected (channels, frames, bins)")
     c, nf, bins = spec.shape
     q = nfft // hop
-    tk = _TK
+    tk = _TK   # inverse kernels regress with wider tiles (see istft_packed)
     lstop = min(_LSTOP, nfft)
     n_stages = (nfft // lstop).bit_length() - 1
 
