@@ -366,3 +366,23 @@ def test_stft_gate_packed_matches_plain(rng, nfft, hop):
     b = np.asarray(pf.stft_gate_packed(xj, nfft, hop, 0.1, interpret=True))
     scale = max(1.0, np.abs(a).max())
     assert np.abs(a[:, pad:pad + n] - b[:, pad:pad + n]).max() / scale < 5e-6
+
+
+@pytest.mark.parametrize("nf_target,tk_expect", [(640, 640), (772, 768)])
+def test_stft_mel_wide_tiles_match_xla(rng, nf_target, tk_expect):
+    """Long signals select the wide frame tiles (tk 640/768 — the round-4
+    additions to _pick_tk); the kernel output must be tile-width
+    invariant. nfft=256/hop=64 keeps interpret-mode cost low while the
+    frame count forces the wide pick."""
+    nfft, hop, n_mels = 256, 64, 24
+    n = (nf_target - 1) * hop + nfft
+    tk = pf._pick_tk(nf_target, 4 * (2 * (nfft // 2) + 4 * 128 + hop),
+                     fixed_bytes=4 * 128 * hop + 2 ** 20, cap=768)
+    assert tk == tk_expect, tk
+    x = jnp.asarray(rng.standard_normal((2, n)).astype(np.float32))
+    got = np.asarray(pf.stft_mel_energies_pallas(x, nfft, hop, n_mels,
+                                                 16000.0, interpret=True))
+    ref = np.asarray(_mel_ref_xla(x, nfft, hop, n_mels, 16000.0))
+    scale = max(1.0, np.abs(ref).max())
+    assert got.shape == ref.shape
+    assert np.abs(got - ref).max() / scale < 5e-6

@@ -205,14 +205,17 @@ def _packed_pair_plan(m: int, lstop: int):
 def _packed_tail_mats(lstop: int):
     """(dp, dp_rev, dp_rev0): the packed DFT-lstop matrix and its
     output-row-permuted variants sigma(j) = L-1-j / (L-j) % L, used to
-    produce the Hermitian-partner rows aligned with the natural rows."""
-    dp = _packed_dft(lstop)
+    produce the Hermitian-partner rows aligned with the natural rows.
+    All three carry the Hermitian unpack's 1/2 factor (E = (Zk +
+    conj(Zm-k))/2, O likewise) baked in, so the per-block VPU algebra in
+    _packed_tail_power/_packed_tail_spectrum is pure adds/subs there."""
+    dp = 0.5 * _packed_dft(lstop)
     sig_rev = np.arange(lstop)[::-1]                       # L-1-j
     sig_rev0 = (lstop - np.arange(lstop)) % lstop          # (L-j) % L
     def permuted(sig):
         return np.concatenate([dp[:lstop][sig], dp[lstop:][sig]],
                               axis=0).astype(np.float32)
-    return dp, permuted(sig_rev), permuted(sig_rev0)
+    return dp.astype(np.float32), permuted(sig_rev), permuted(sig_rev0)
 
 
 @functools.lru_cache(maxsize=16)
@@ -273,10 +276,12 @@ def _packed_tail_power(sre_ref, sim_ref, dp_ref, dpr_ref, dpr0_ref, wkr_ref,
     nyq_row = None
 
     def unpack(lo1, nr, ni, rr, ri):
-        er = 0.5 * (nr + rr)
-        ei = 0.5 * (ni - ri)
-        o_r = 0.5 * (ni + ri)
-        o_i = -0.5 * (nr - rr)
+        # the 1/2 of E = (Zk + conj(Zm-k))/2 lives in the tail matrices
+        # (_packed_tail_mats), so these are pure adds/subs on the VPU
+        er = nr + rr
+        ei = ni - ri
+        o_r = ni + ri
+        o_i = rr - nr
         wr = wkr_ref[lo1:lo1 + lstop]
         wi = wki_ref[lo1:lo1 + lstop]
         wor = wr * o_r - wi * o_i
@@ -506,10 +511,12 @@ def _packed_tail_spectrum(sre_ref, sim_ref, ore_ref, oim_ref, dp_ref,
     dpr0v = dpr0_ref[:]
 
     def eo(lo1, nr, ni, rr, ri):
-        er = 0.5 * (nr + rr)
-        ei = 0.5 * (ni - ri)
-        o_r = 0.5 * (ni + ri)
-        o_i = -0.5 * (nr - rr)
+        # the 1/2 of E = (Zk + conj(Zm-k))/2 lives in the tail matrices
+        # (_packed_tail_mats), so these are pure adds/subs on the VPU
+        er = nr + rr
+        ei = ni - ri
+        o_r = ni + ri
+        o_i = rr - nr
         wr = wkr_ref[lo1:lo1 + lstop]
         wi = wki_ref[lo1:lo1 + lstop]
         wor = wr * o_r - wi * o_i
