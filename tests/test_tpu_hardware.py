@@ -149,3 +149,41 @@ def test_spectrum_packed_mosaic_vs_npfft(rng):
     scale = np.abs(ref).max()
     err = max(np.abs(got[0] - ref.real).max(), np.abs(got[1] - ref.imag).max())
     assert err / scale < 5e-6
+
+
+@pytest.mark.parametrize("nfft,hop", [
+    (2048, 256), (2048, 512), (2048, 1024),
+    (4096, 512), (4096, 1024), (4096, 2048),
+])
+def test_spectrum_budget_sweep_compiles_and_matches(rng, nfft, hop):
+    """VMEM-ceiling guard for the spectrum/power tile picks: within ~1 MB
+    of the 16 MB ceiling Mosaic compile success is non-deterministic
+    across geometries (full-tile butterfly stack temporaries the byte
+    model can't see — a 15 MB budget measured -24% at 2048/512 but OOMed
+    other geometries with identical per-tile buffers; see the note above
+    _pick_tk's spectrum call sites). The signal is LONG (nf > 600) so
+    the actual production tk is selected — short signals cap tk at 128
+    and would validate nothing. Every pick must COMPILE on hardware and
+    match a float64 np.fft oracle."""
+    from vv_dsp_tpu.ops import pallas_fft as pf
+    from vv_dsp_tpu.ops.window import get_window_np
+
+    n = 620 * hop + nfft
+    x = rng.standard_normal((2, n)).astype(np.float32)
+    got = pf.stft_spectrum_packed(jnp.asarray(x), nfft, hop, onesided=True,
+                                  interpret=False)
+    gre, gim = np.asarray(jnp.real(got)), np.asarray(jnp.imag(got))
+    w = get_window_np("hann", nfft, None)
+    nf = 1 + (n - nfft + hop) // hop
+    xp = np.pad(x, ((0, 0), (0, (nf - 1) * hop + nfft - n)))
+    frames = np.stack([xp[:, f * hop:f * hop + nfft] * w for f in range(nf)],
+                      axis=1)
+    ref = np.fft.rfft(frames.astype(np.float64), axis=-1)
+    scale = np.abs(ref).max()
+    err = max(np.abs(gre - ref.real).max(), np.abs(gim - ref.imag).max())
+    assert err / scale < 5e-6
+    # and the power kernel at the same geometry
+    pw = np.asarray(pf.stft_power_packed(jnp.asarray(x), nfft, hop,
+                                         interpret=False))
+    perr = np.abs(pw - np.abs(ref) ** 2).max() / (scale * scale)
+    assert perr < 5e-6

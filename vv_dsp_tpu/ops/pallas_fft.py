@@ -50,6 +50,17 @@ from vv_dsp_tpu import config
 
 _LSTOP = 64  # butterfly/matmul split point (see module docstring)
 _TK = 128    # frames per grid step (lane width)
+# NOTE (round 4, measured): raising the spectrum/power kernels' budget to
+# 15 MB picks tk=512 at 2048-point geometries and measured -24% on the
+# 2048/512 c2c row — but it is NOT SAFE: Mosaic materializes full-tile
+# (m, tk) butterfly stack temporaries the byte model can't see, and at
+# ~17.5 MB estimated scoped usage some geometries compile while others
+# OOM ("exceeded scoped vmem limit"), depending on opaque scheduling —
+# (2048, 256) passed where (2048, 512) failed with identical per-tile
+# buffers. Within ~1 MB of the 16 MB ceiling, compile success is
+# non-deterministic across geometries; a hard compile error in user code
+# is worse than 24% on one row, so the budget stays at the 12 MB default
+# (tests/test_tpu_hardware.py sweeps the picks on hardware).
 
 
 def _pick_tk(nf: int, bytes_per_tk: int, fixed_bytes: int = 0,
