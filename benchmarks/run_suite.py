@@ -132,6 +132,17 @@ def main():
             "cepstrum_4096",
             lambda v, acc: _use(_env.cepstrum_real(v + acc * 1e-30)),
             xz, n_samples=channels * n_czt, sample_rate=fs))
+        # batched zoom-FFT serving shape: the whole 10 s signal chopped
+        # into 4096-point segments, ONE czt call — the 16-row czt_4096
+        # row above is launch-bound (~0.15 ms floor for 64k samples);
+        # this row shows the amortized throughput of the same transform
+        n_seg = n // n_czt
+        xzb = x[:, : n_seg * n_czt].reshape(channels * n_seg, n_czt)
+        record(chain_benchmark(
+            "czt_4096_batched",
+            lambda v, acc: _use_c(_czt.czt(v + acc * 1e-30, n_czt, w_dft,
+                                           1.0 + 0j)),
+            xzb, n_samples=channels * n_seg * n_czt, sample_rate=fs))
 
     # --- end-to-end pipelines (bench_pipeline.c analog + north star) ---
     gate = SpectralGate()

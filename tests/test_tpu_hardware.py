@@ -33,13 +33,16 @@ def rng():
 
 def test_packed_mel_kernel_mosaic_vs_xla(rng):
     """Packed-real fused STFT->mel kernel, Mosaic-compiled, vs the XLA
-    power-parts composition (f32 dots both sides)."""
+    power-parts composition (f32 dots both sides). The signal is long
+    enough (nf > 768) that the WIDE tk=768 tile pick is selected — its
+    VMEM footprint sits closer to the ceiling than any other mel
+    geometry, so this doubles as the compile guard for it."""
     from vv_dsp_tpu.ops import mel as _mel
     from vv_dsp_tpu.ops import pallas_fft as pf
     from vv_dsp_tpu.ops.stft import STFT
 
     nfft, hop, n_mels, sr = 2048, 512, 80, 48000.0
-    x = jnp.asarray(rng.standard_normal((4, 96000)), dtype=jnp.float32)
+    x = jnp.asarray(rng.standard_normal((4, 400000)), dtype=jnp.float32)
     got = np.asarray(pf.stft_mel_energies_pallas(
         x, nfft, hop, n_mels, sr, interpret=False, algorithm="f32"))
     plan = STFT(nfft, hop)
@@ -187,3 +190,18 @@ def test_spectrum_budget_sweep_compiles_and_matches(rng, nfft, hop):
                                          interpret=False))
     perr = np.abs(pw - np.abs(ref) ** 2).max() / (scale * scale)
     assert perr < 5e-6
+
+
+def test_istft_packed_mosaic_roundtrip(rng):
+    """process -> reconstruct through the packed forward and inverse
+    kernels on hardware: the w^2-normalized OLA roundtrip must reproduce
+    fully-covered samples."""
+    from vv_dsp_tpu.ops.stft import STFT
+
+    nfft, hop, n = 1024, 256, 120000
+    x = rng.standard_normal((2, n)).astype(np.float32)
+    plan = STFT(nfft, hop)
+    spec = plan.process(jnp.asarray(x), rfft=True)
+    got = np.asarray(plan.reconstruct(spec, n, rfft=True))
+    lo, hi = nfft, n - nfft
+    np.testing.assert_allclose(got[:, lo:hi], x[:, lo:hi], rtol=0, atol=3e-5)

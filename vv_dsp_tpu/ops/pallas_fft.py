@@ -67,13 +67,17 @@ def _pick_tk(nf: int, bytes_per_tk: int, fixed_bytes: int = 0,
              budget: int = 12 * 2 ** 20, cap: int = 512) -> int:
     """Frames-per-grid-step: wider tiles amortize per-step latency and feed
     the tail matmuls larger N (measured +10% at tk=512 vs 128 on the
-    1024/256 spectrum and a further +4% at 768 vs 512 on the chain's
-    2048/512 mel kernel, v5e), capped by a VMEM budget and by the padded
-    frame count (nf_p rounds UP to tk - short signals stay at 128).
-    The per-kernel `cap` matters: the mel/MFCC kernels (tiny out tiles)
-    measure fastest at 768, while the spectrum/power kernels (full
-    (m_pad, tk) out tiles, double-buffered) REGRESS ~25% beyond 512 —
-    as does everything at 1024 (VMEM pressure kills the pipelining)."""
+    1024/256 spectrum, +3-4% at 640 vs 512 on the chain's 2048/512 mel
+    kernel, v5e), capped by a VMEM budget and by the padded frame count
+    (nf_p rounds UP to tk - short signals stay at 128).
+    The per-kernel `cap` matters: the packed mel/MFCC kernels (tiny out
+    tiles) take 640; the spectrum/power kernels (full (m_pad, tk) out
+    tiles, double-buffered) REGRESS ~25% beyond 512; everything regresses
+    at 1024 (VMEM pressure kills the pipelining); and 768 — though it
+    measured +4% at 2048-point mel inside a fori_loop harness — OOMs
+    Mosaic's scoped VMEM when the same call compiles standalone, so no
+    packed kernel requests it (the cap=768 below is reached only by the
+    UNPACKED mel kernel at nfft <= 512, whose footprint is half)."""
     for tk in (768, 640, 512, 384, 256, 128):
         if tk > cap or (tk > 128 and tk > _round_up(max(nf, 1), 128)):
             continue
@@ -406,7 +410,7 @@ def _stft_mel_call_packed(x, nfft, hop, n_mels, sample_rate, window,
         # here, and tk=128 is always feasible (the pipeline gate checks it)
         nf0 = 1 if n < nfft else 1 + (n - nfft + hop) // hop
         tk = _TK
-        for cand in (768, 640, 512, 384, 256):
+        for cand in (640, 512, 384, 256):
             lanes_c = _round_up(cand + q - 1, 128)
             nb_c = _round_up(nf0, cand) - cand + lanes_c
             vmem = 4 * cand * (2 * m + 4 * 128 + hop) \
@@ -419,8 +423,15 @@ def _stft_mel_call_packed(x, nfft, hop, n_mels, sample_rate, window,
     else:
         nf0 = 1 if x.shape[-1] < nfft \
             else 1 + (x.shape[-1] - nfft + hop) // hop
+        # cap 640, not 768: tk=768 at 2048-point geometry measured +4%
+        # inside a fori_loop harness but OOMs Mosaic's scoped VMEM (19.1
+        # MB) when the same call compiles standalone — the same
+        # context-dependent ceiling behavior as the spectrum kernels
+        # (see the VMEM note above); 640 is the widest pick proven to
+        # compile in every context (it is the chain's handoff width,
+        # exercised by tests/test_tpu_hardware.py)
         tk = _pick_tk(nf0, 4 * (2 * m + 4 * 128 + hop),
-                      fixed_bytes=4 * 128 * hop + 2 ** 20, cap=768)
+                      fixed_bytes=4 * 128 * hop + 2 ** 20, cap=640)
     lstop = min(_LSTOP, m)
     n_stages = (m // lstop).bit_length() - 1
     lanes_p = _round_up(tk + q - 1, 128)
