@@ -11,7 +11,6 @@ Run: python benchmarks/attr_stft_kernel.py [--algorithm bf16x3]
 """
 
 import argparse
-import functools
 import json
 import os
 import sys

@@ -12,7 +12,6 @@ Diagnostic tool, not a committed artifact.
 """
 
 import argparse
-import functools
 import json
 import os
 import sys
@@ -78,8 +77,6 @@ def main():
     wki_c = jnp.asarray(wki)
 
     def make_kernel2(variant, dps):
-        dpv_c, dprv_c, dpr0v_c = dps
-
         def kern(xt_hbm, we_ref, wo_ref, twr_ref, twi_ref, dp_ref, dpr_ref,
                  dpr0_ref, wkr_ref, wki_ref, out_ref, xv, sre_ref, sim_ref,
                  sem):
