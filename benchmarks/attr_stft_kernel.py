@@ -52,7 +52,7 @@ def main():
     q = nfft // hop
     nf = 1 if n < nfft else 1 + (n - nfft + hop) // hop
     tk = pf._pick_tk(nf, 4 * (2 * m + 4 * 128 + hop),
-                     fixed_bytes=4 * 128 * hop + 2 ** 20)
+                     fixed_bytes=4 * 128 * hop + 2 ** 20, cap=640)
     lstop = min(pf._LSTOP, m)
     n_stages = (m // lstop).bit_length() - 1
     lanes_p = _round_up(tk + q - 1, 128)

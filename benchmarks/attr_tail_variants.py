@@ -46,7 +46,7 @@ def main():
     q = nfft // hop
     nf = 1 if n < nfft else 1 + (n - nfft + hop) // hop
     tk = pf._pick_tk(nf, 4 * (2 * m + 4 * 128 + hop),
-                     fixed_bytes=4 * 128 * hop + 2 ** 20)
+                     fixed_bytes=4 * 128 * hop + 2 ** 20, cap=640)
     lstop = min(pf._LSTOP, m)
     n_stages = (m // lstop).bit_length() - 1
     lanes_p = _round_up(tk + q - 1, 128)
@@ -101,10 +101,12 @@ def main():
                                real_input=False)
 
             def unpack(lo1, nr, ni, rr, ri):
-                er = 0.5 * (nr + rr)
-                ei = 0.5 * (ni - ri)
-                o_r = 0.5 * (ni + ri)
-                o_i = -0.5 * (nr - rr)
+                # the 1/2 lives in the (pre-scaled) tail matrices — keep
+                # this in sync with _packed_tail_power's algebra
+                er = nr + rr
+                ei = ni - ri
+                o_r = ni + ri
+                o_i = rr - nr
                 wr = wkr_ref[lo1:lo1 + lstop]
                 wi = wki_ref[lo1:lo1 + lstop]
                 wor = wr * o_r - wi * o_i

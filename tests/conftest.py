@@ -6,7 +6,9 @@ Set VV_TPU_TESTS=1 to keep the real TPU backend instead: the interpret-mode
 kernel tests still pass (they pin interpret=True explicitly), and the
 hardware-gated module tests/test_tpu_hardware.py stops skipping — it
 compiles the Pallas kernels through Mosaic on the actual chip and checks
-them against the same oracles.
+them against the same oracles. Run that module STANDALONE under the flag:
+the sharded suites (tests/test_parallel.py etc.) need 8 devices and are
+not runnable on a 1-4 chip host with the CPU mesh config skipped.
 
 NB: this image's sitecustomize imports jax and registers the TPU backend
 before conftest runs, so env vars are too late — use jax.config instead

@@ -34,9 +34,10 @@ def rng():
 def test_packed_mel_kernel_mosaic_vs_xla(rng):
     """Packed-real fused STFT->mel kernel, Mosaic-compiled, vs the XLA
     power-parts composition (f32 dots both sides). The signal is long
-    enough (nf > 768) that the WIDE tk=768 tile pick is selected — its
-    VMEM footprint sits closer to the ceiling than any other mel
-    geometry, so this doubles as the compile guard for it."""
+    enough (nf >= 641) that the WIDE tk=640 tile pick — the packed mel
+    cap — is selected; its VMEM footprint sits closer to the ceiling
+    than any other mel geometry, so this doubles as the compile guard
+    for it (tk=768 was withdrawn: 19.1 MB scoped VMEM OOM standalone)."""
     from vv_dsp_tpu.ops import mel as _mel
     from vv_dsp_tpu.ops import pallas_fft as pf
     from vv_dsp_tpu.ops.stft import STFT
@@ -205,3 +206,28 @@ def test_istft_packed_mosaic_roundtrip(rng):
     got = np.asarray(plan.reconstruct(spec, n, rfft=True))
     lo, hi = nfft, n - nfft
     np.testing.assert_allclose(got[:, lo:hi], x[:, lo:hi], rtol=0, atol=3e-5)
+
+
+@pytest.mark.parametrize("nfft,cap_tk", [(1024, 256), (512, 768)])
+def test_unpacked_mel_hop8_compiles_and_matches(rng, nfft, cap_tk):
+    """The UNPACKED mel kernel (hop=8 — the only hop that divides a pow2
+    nfft without being a multiple of 16) at its widest production tile.
+    nfft=1024 OOMed Mosaic scoped VMEM at every tk >= 384 (26.9 MB at
+    640) — a latent pre-round-4 bug: the old uncapped pick was 512 and
+    this path had never been compiled on a chip. Long signal so the
+    capped pick is the one compiled."""
+    from vv_dsp_tpu.ops import mel as _mel
+    from vv_dsp_tpu.ops import pallas_fft as pf
+    from vv_dsp_tpu.ops.stft import STFT
+
+    hop, n_mels, sr = 8, 24, 16000.0
+    n = (cap_tk + 80) * hop + nfft
+    x = jnp.asarray(rng.standard_normal((2, n)), dtype=jnp.float32)
+    got = np.asarray(pf.stft_mel_energies_pallas(x, nfft, hop, n_mels, sr,
+                                                 interpret=False))
+    plan = STFT(nfft, hop)
+    re, im = plan.power_parts(x)
+    ref = np.asarray(_mel.mel_energies_from_power_parts(re, im, nfft,
+                                                        n_mels, sr))
+    scale = max(1.0, np.abs(ref).max())
+    assert np.abs(got - ref).max() / scale < 5e-6

@@ -75,9 +75,10 @@ def _pick_tk(nf: int, bytes_per_tk: int, fixed_bytes: int = 0,
     tiles, double-buffered) REGRESS ~25% beyond 512; everything regresses
     at 1024 (VMEM pressure kills the pipelining); and 768 — though it
     measured +4% at 2048-point mel inside a fori_loop harness — OOMs
-    Mosaic's scoped VMEM when the same call compiles standalone, so no
-    packed kernel requests it (the cap=768 below is reached only by the
-    UNPACKED mel kernel at nfft <= 512, whose footprint is half)."""
+    Mosaic's scoped VMEM when the same call compiles standalone, so
+    no kernel requests it beyond the UNPACKED mel kernel at
+    nfft <= 512 (hardware-verified clean through 768; its nfft=1024
+    geometry needs cap=256 — see _stft_mel_call)."""
     for tk in (768, 640, 512, 384, 256, 128):
         if tk > cap or (tk > 128 and tk > _round_up(max(nf, 1), 128)):
             continue
@@ -2194,8 +2195,17 @@ def _stft_mel_call(x, nfft, hop, n_mels, sample_rate, window, window_param,
     c, n = x.shape
     q = nfft // hop
     nf = 1 if n < nfft else 1 + (n - nfft + hop) // hop
+    # caps measured on hardware (the unpacked path only exists for
+    # hop = 8, nfft <= 1024 — any wider hop that divides a pow2 nfft is
+    # a multiple of 16 and takes the packed kernel): at nfft = 1024 the
+    # full-nfft scratch + mel stage OOMs Mosaic's scoped VMEM at every
+    # tk >= 384 (26.9 MB measured at 640 — a LATENT pre-round-4 bug,
+    # the old uncapped pick was 512 and had never been compiled on a
+    # chip); tk = 256 compiles and matches (5.3e-7).  nfft <= 512
+    # verified clean through 768.
     tk = _pick_tk(nf, 4 * (2 * nfft + 4 * 128 + hop),
-                  fixed_bytes=4 * 128 * hop + 2 ** 20, cap=768)
+                  fixed_bytes=4 * 128 * hop + 2 ** 20,
+                  cap=768 if nfft <= 512 else 256)
     lstop = min(_LSTOP, nfft)
     n_stages = (nfft // lstop).bit_length() - 1
     nf_p = _round_up(nf, tk)
