@@ -377,8 +377,7 @@ def test_stft_mel_wide_tiles_match_xla(rng, nf_target, tk_expect):
     interpret-mode cost low while the frame count forces the wide pick."""
     nfft, hop, n_mels = 256, 64, 24
     n = (nf_target - 1) * hop + nfft
-    tk = pf._pick_tk(nf_target, 4 * (2 * (nfft // 2) + 4 * 128 + hop),
-                     fixed_bytes=4 * 128 * hop + 2 ** 20, cap=640)
+    tk = pf._packed_mel_pick_tk(nf_target, nfft // 2, hop)
     assert tk == tk_expect, tk
     x = jnp.asarray(rng.standard_normal((2, n)).astype(np.float32))
     got = np.asarray(pf.stft_mel_energies_pallas(x, nfft, hop, n_mels,

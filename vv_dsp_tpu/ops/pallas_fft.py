@@ -87,6 +87,20 @@ def _pick_tk(nf: int, bytes_per_tk: int, fixed_bytes: int = 0,
     return 128
 
 
+def _packed_mel_pick_tk(nf0: int, m: int, hop: int) -> int:
+    """The packed mel/MFCC kernels' production tile pick — ONE definition
+    shared with the tests so a byte-model change can't silently diverge
+    from what the tests validate. Cap 640, not 768: tk=768 at 2048-point
+    geometry measured +4% inside a fori_loop harness but OOMs Mosaic's
+    scoped VMEM (19.1 MB) when the same call compiles standalone — the
+    same context-dependent ceiling behavior as the spectrum kernels (see
+    the VMEM note above); 640 is the widest pick proven to compile in
+    every context (it is the chain's handoff width, exercised by
+    tests/test_tpu_hardware.py)."""
+    return _pick_tk(nf0, 4 * (2 * m + 4 * 128 + hop),
+                    fixed_bytes=4 * 128 * hop + 2 ** 20, cap=640)
+
+
 from vv_dsp_tpu.ops.pallas_kernels import (_kernel_precision, _on_tpu,
                                             _round_up,
                                             dot_alg as _dot_alg,
@@ -424,15 +438,7 @@ def _stft_mel_call_packed(x, nfft, hop, n_mels, sample_rate, window,
     else:
         nf0 = 1 if x.shape[-1] < nfft \
             else 1 + (x.shape[-1] - nfft + hop) // hop
-        # cap 640, not 768: tk=768 at 2048-point geometry measured +4%
-        # inside a fori_loop harness but OOMs Mosaic's scoped VMEM (19.1
-        # MB) when the same call compiles standalone — the same
-        # context-dependent ceiling behavior as the spectrum kernels
-        # (see the VMEM note above); 640 is the widest pick proven to
-        # compile in every context (it is the chain's handoff width,
-        # exercised by tests/test_tpu_hardware.py)
-        tk = _pick_tk(nf0, 4 * (2 * m + 4 * 128 + hop),
-                      fixed_bytes=4 * 128 * hop + 2 ** 20, cap=640)
+        tk = _packed_mel_pick_tk(nf0, m, hop)
     lstop = min(_LSTOP, m)
     n_stages = (m // lstop).bit_length() - 1
     lanes_p = _round_up(tk + q - 1, 128)
@@ -2195,9 +2201,11 @@ def _stft_mel_call(x, nfft, hop, n_mels, sample_rate, window, window_param,
     c, n = x.shape
     q = nfft // hop
     nf = 1 if n < nfft else 1 + (n - nfft + hop) // hop
-    # caps measured on hardware (the unpacked path only exists for
-    # hop = 8, nfft <= 1024 — any wider hop that divides a pow2 nfft is
-    # a multiple of 16 and takes the packed kernel): at nfft = 1024 the
+    # caps measured on hardware (the unpacked path only runs below the
+    # packed kernel's floor: hop = 8 at nfft in [256, 2048], plus
+    # nfft = 128 with any hop — wider hops at pow2 nfft >= 256 are
+    # multiples of 16 and take the packed kernel; the nfft = 128
+    # geometries' tiles are tiny, far from any cap): at nfft = 1024 the
     # full-nfft scratch + mel stage OOMs Mosaic's scoped VMEM at every
     # tk >= 384 (26.9 MB measured at 640 — a LATENT pre-round-4 bug,
     # the old uncapped pick was 512 and had never been compiled on a
