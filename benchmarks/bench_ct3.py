@@ -34,7 +34,9 @@ def main():
 
     for n in [262144, 479232, 524288, 1048576]:
         x = jnp.asarray(rng.standard_normal((c, n)), dtype=jnp.float32)
-        z = x + 0j
+        # complex input built ON-DEVICE (complex host->device transfers are
+        # unimplemented on the axon transport)
+        z = jax.jit(lambda a: jax.lax.complex(a, jnp.zeros_like(a)))(x)
 
         plans = {"ct3": F._ct3_split(n), "four_step": F._four_step_factors(n)}
         rows = {}

@@ -74,6 +74,18 @@ def main():
     record(chain_benchmark("stft_1024_roundtrip", rt, x, n_samples=total,
                            sample_rate=fs))
 
+    # --- packed-layout roundtrip (the zero-copy serving fast path:
+    # STFT.process_packed -> reconstruct_packed skips both natural-order
+    # relayout passes; same OLA/norm semantics) ---
+    import jax as _jax
+    if _jax.default_backend() == "tpu":
+        def rtp(v, acc):
+            ps = plan.process_packed(v + acc * 1e-30)
+            return _use(plan.reconstruct_packed(ps, n))
+
+        record(chain_benchmark("stft_1024_roundtrip_packed", rtp, x,
+                               n_samples=total, sample_rate=fs))
+
     # --- FIR tap sweep (bench_filter) ---
     taps_list = [64] if args.quick else [16, 64, 256, 1024]
     for taps in taps_list:

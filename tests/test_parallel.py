@@ -312,6 +312,26 @@ def test_northstar_flagship_geometry_sharded(rng, shape):
                                atol=2e-3 * scale)
 
 
+@pytest.mark.parametrize("shape", [(1, 8), (2, 4)])
+def test_northstar_fused_halos_match_staged(rng, shape):
+    """fuse_halos=True (one combined left+right raw-signal exchange, 2
+    ppermute rounds) must reproduce the staged 4-exchange path: the deep
+    halo covers the composed FIR->polyphase->STFT dependency cone and the
+    boundary recompute is bit-compatible (same local kernels)."""
+    from vv_dsp_tpu.models import NorthStarChain
+
+    chain = NorthStarChain()
+    n = 8 * 2048 * 3
+    x = jnp.asarray(rng.standard_normal((2, n)), dtype=jnp.float32)
+    mesh = make_mesh(shape)
+    staged = chain.apply_sharded(x, mesh, fuse_halos=False)
+    fused = chain.apply_sharded(x, mesh, fuse_halos=True)
+    assert staged.shape == fused.shape
+    scale = float(jnp.abs(staged).max())
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(staged),
+                               rtol=0, atol=2e-4 * scale)
+
+
 def test_savgol_sharded_halo_equals_block(sig):
     """halo == per-shard block in 'reflect' mode: reflecting position -t
     needs x[t] from the NEIGHBOR shard, so this must route to the gather

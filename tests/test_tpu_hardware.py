@@ -231,3 +231,51 @@ def test_unpacked_mel_hop8_compiles_and_matches(rng, nfft, cap_tk):
                                                         n_mels, sr))
     scale = max(1.0, np.abs(ref).max())
     assert np.abs(got - ref).max() / scale < 5e-6
+
+
+@pytest.mark.parametrize("nfft,hop,n", [
+    (1024, 256, 479232),    # flagship roundtrip geometry, tk=512 pick
+    (2048, 512, 200704),    # tk=256 pick
+    (4096, 1024, 230400),   # tk=128 pick
+])
+def test_istft_packed_production_tile_picks(rng, nfft, hop, n):
+    """The round-5 inverse kernel at every production tile pick,
+    Mosaic-compiled in a DIRECT jit (the VMEM-ceiling lesson: picks that
+    only ever compiled inside a bench loop shipped latent OOMs)."""
+    from vv_dsp_tpu.ops.stft import STFT
+
+    x = rng.standard_normal((2, n)).astype(np.float32)
+    plan = STFT(nfft, hop)
+    spec = jax.jit(lambda v: plan.process(v, rfft=True))(jnp.asarray(x))
+    got = np.asarray(jax.jit(
+        lambda s: plan.reconstruct(s, n, rfft=True))(spec))
+    lo, hi = nfft, n - nfft
+    np.testing.assert_allclose(got[:, lo:hi], x[:, lo:hi], rtol=0, atol=3e-5)
+
+
+def test_packed_spectrum_roundtrip_and_mask(rng):
+    """The zero-copy PackedSpectrum path on hardware: process_packed ->
+    apply_mask(identity) -> reconstruct_packed equals the input on covered
+    samples, and a half-band mask matches the natural-order masked
+    reconstruct."""
+    from vv_dsp_tpu.ops.stft import STFT
+
+    nfft, hop, n = 1024, 256, 479232
+    x = rng.standard_normal((2, n)).astype(np.float32)
+    plan = STFT(nfft, hop)
+    xj = jnp.asarray(x)
+    ps = jax.jit(plan.process_packed)(xj)
+    got = np.asarray(jax.jit(
+        lambda p_re, p_im: plan.reconstruct_packed(
+            type(ps)(p_re, p_im, ps.nfft, ps.hop, ps.nf), n))(ps.re, ps.im))
+    lo, hi = nfft, n - nfft
+    np.testing.assert_allclose(got[:, lo:hi], x[:, lo:hi], rtol=0, atol=3e-5)
+
+    mask = np.zeros(nfft // 2 + 1, np.float32)
+    mask[: nfft // 8] = 1.0
+    got_m = np.asarray(plan.reconstruct_packed(ps.apply_mask(mask), n))
+    spec = plan.process(xj, rfft=True)
+    ref_m = np.asarray(plan.reconstruct(spec * jnp.asarray(mask), n,
+                                        rfft=True))
+    scale = max(1.0, np.abs(ref_m).max())
+    assert np.abs(got_m[:, lo:hi] - ref_m[:, lo:hi]).max() / scale < 3e-5

@@ -163,7 +163,7 @@ class NorthStarChain:
                               self.n_mfcc, sr, window=self.window,
                               algorithm=self.stft_algorithm)
 
-    def apply_sharded(self, x, mesh):
+    def apply_sharded(self, x, mesh, fuse_halos: bool = True):
         """Multi-chip execution: FIR and resample run as halo-exchange
         sharded ops over the (channel, block) mesh; the STFT runs
         frame-sharded; the mel/MFCC matmuls partition over the sharded frame
@@ -174,11 +174,134 @@ class NorthStarChain:
         flagship geometry exceeds typical per-shard blocks and would force
         multi-round halos on every step, while the fusion's benefit — one
         less HBM round trip — is a per-chip property the staged sharded ops
-        already amortize across the halo exchange."""
+        already amortize across the halo exchange.
+
+        fuse_halos=True (default) collapses the chain's FOUR per-stage halo
+        exchanges (FIR left, polyphase left+right, STFT right) into ONE
+        combined left+right raw-signal exchange per step: every shard pulls
+        a deep input halo sized for the composed dependency cone and
+        recomputes the ~1% of boundary work redundantly — 2 ppermute rounds
+        instead of 4, numerically identical to the staged path (parity
+        test: tests/test_parallel.py).  Falls back to the staged path when
+        the geometry doesn't divide evenly."""
+        if fuse_halos:
+            try:
+                return self._apply_sharded_fused(x, mesh)
+            except ValueError:
+                pass
         y = _par.fir_apply_sharded(self.fir_coeffs, x, mesh)
         y = _par.resample_poly_sharded(y, self.up, self.down, mesh)
         spec = _par.stft_process_sharded(y, self.nfft, self.hop, mesh,
                                          self.window)
+        power = jnp.square(jnp.abs(spec))
+        return _mel.mfcc(power, self.nfft, self.n_mels, self.n_mfcc,
+                         self.sample_rate * self.up / self.down)
+
+    def _apply_sharded_fused(self, x, mesh, channel_axis: str = "channel",
+                             block_axis: str = "block"):
+        """One combined halo exchange for the whole chain head (see
+        apply_sharded).  Dependency-cone arithmetic: a local STFT frame
+        needs `nfft-hop` resampled lookahead samples; resampled output j
+        reads FIR output positions (half_len + j*down)//up - i for the
+        taps_pp polyphase taps; FIR is causal with taps-1 history.  The
+        anchor arithmetic is shard-independent because t_local*up is a
+        multiple of down*up (same invariant as resample_poly_sharded)."""
+        import math as _math
+        import numpy as np
+        from jax import lax
+        from jax.sharding import PartitionSpec as P
+        from vv_dsp_tpu.ops import resample as _rs
+        from vv_dsp_tpu.ops import framing as _framing
+        from vv_dsp_tpu.ops import fft as _offt
+        from vv_dsp_tpu.ops.window import get_window
+        from vv_dsp_tpu.parallel import halo as _halo
+        from vv_dsp_tpu import config as _config
+
+        g = _math.gcd(self.up, self.down)
+        up, down = self.up // g, self.down // g
+        nb = mesh.shape[block_axis]
+        n = x.shape[-1]
+        if n % (nb * down):
+            raise ValueError("length must divide n_blocks * down")
+        t = n // nb
+        out_local = t * up // down
+        if out_local % self.hop:
+            raise ValueError("per-shard resampled length must divide hop")
+        n2 = n * up // down
+
+        taps = self.fir_taps
+        h_np = np.asarray(self.fir_coeffs, dtype=np.float64)
+        h_rs = _rs._resample_poly_filter(up, down)
+        half_len = (len(h_rs) - 1) // 2
+        h_pad = np.zeros((-(-len(h_rs) // up)) * up)
+        h_pad[:len(h_rs)] = h_rs
+        taps_pp = len(h_pad) // up
+        hpp = h_pad.reshape(taps_pp, up).T
+        overlap = self.nfft - self.hop
+
+        # deep-halo sizes from the dependency cone (+1 margin each side)
+        HL = taps - 1 + max(0, taps_pp - 1 - half_len // up) + 1
+        ext_out = out_local + overlap
+        HR = max(0, (half_len + (ext_out - 1) * down) // up - (t - 1)) + 1
+
+        # local polyphase gather geometry over the FIR-extended block
+        jj = np.arange(ext_out)
+        tt = half_len + jj * down
+        idx_np = HL + tt // up
+        idx_np = idx_np[:, None] - np.arange(taps_pp)[None, :]
+        w_np = hpp[tt % up]
+        idx_j = jnp.asarray(idx_np, dtype=jnp.int32)
+        w_j = jnp.asarray(w_np, dtype=jnp.float32)
+        win = get_window(self.window, self.nfft)
+        nf_local = out_local // self.hop
+
+        @functools.partial(
+            jax.shard_map, mesh=mesh,
+            in_specs=(P(channel_axis, block_axis), P(), P(), P()),
+            out_specs=P(channel_axis, block_axis, None),
+            check_vma=False)
+        def run(xb, idx_, w_, wn):
+            left = _halo.halo_from_left(xb, HL, block_axis)
+            right = _halo.halo_from_right(xb, HR, block_axis)
+            ext = jnp.concatenate([left, xb, right], axis=-1)
+            yf = _fir.fir_apply_mxu(h_np, ext)
+            # FIR ring-out past the global signal end is NOT part of the
+            # staged semantics (the resampler zero-pads beyond n): mask it
+            idx_blk = lax.axis_index(block_axis)
+            gposf = (idx_blk * t - HL
+                     + jnp.arange(ext.shape[-1], dtype=jnp.int32))
+            yf = jnp.where(gposf < n, yf, jnp.zeros_like(yf))
+            gathered = jnp.take(yf, idx_, axis=-1)
+            y2 = jnp.einsum("...ot,ot->...o", gathered, w_,
+                            precision=_config.MATMUL_PRECISION)
+            # resampled lookahead beyond n2 is zero in the staged path
+            # (STFT right-halo zeros / zero-padded tail frames)
+            gpos2 = (idx_blk * out_local
+                     + jnp.arange(ext_out, dtype=jnp.int32))
+            y2 = jnp.where(gpos2 < n2, y2, jnp.zeros_like(y2))
+            # local STFT over the extended resampled block — same fast
+            # tier as stft_process_sharded
+            from vv_dsp_tpu.ops import pallas_fft as _pf
+            if (y2.ndim == 2 and _pf.stft_mel_supported(self.nfft, self.hop)
+                    and jax.default_backend() == "tpu"):
+                from vv_dsp_tpu.utils.kernel_grad import kernel_with_xla_vjp
+
+                def fast(ev):
+                    return _pf.stft_spectrum_stockham(
+                        ev, self.nfft, self.hop, self.window,
+                        onesided=True)[:, :nf_local, :]
+
+                def ref(ev):
+                    fr = _framing.frames_strided(ev, self.nfft, self.hop,
+                                                 nf_local) * wn
+                    return _offt.rfft(fr)
+
+                return kernel_with_xla_vjp(fast, ref)(y2)
+            frames = _framing.frames_strided(y2, self.nfft, self.hop,
+                                             nf_local) * wn
+            return _offt.rfft(frames)
+
+        spec = run(x, idx_j, w_j, win)
         power = jnp.square(jnp.abs(spec))
         return _mel.mfcc(power, self.nfft, self.n_mels, self.n_mfcc,
                          self.sample_rate * self.up / self.down)

@@ -29,12 +29,24 @@ from vv_dsp_tpu.ops import fft as _fft
 
 
 def cepstrum_real(x):
-    """Real cepstrum of (..., n) (vv_dsp_cepstrum_real)."""
-    # universal FFT dispatch (ops.fft), matching the reference's single
-    # plan vtable (src/envelope/cepstrum.c:20-35 -> src/spectral/fft.c)
-    spec = _fft.fft(x.astype(config.complex_for_real(x.dtype)))
-    logmag = jnp.log(jnp.abs(spec) + 1e-12)
-    return _fft.ifft(logmag.astype(spec.dtype)).real
+    """Real cepstrum of (..., n) (vv_dsp_cepstrum_real).
+
+    Universal FFT dispatch (ops.fft), matching the reference's single
+    plan vtable (src/envelope/cepstrum.c:20-35 -> src/spectral/fft.c).
+    Real input factors through the half-cost r2c/c2r tiers: log|FFT| of a
+    real signal is real and Hermitian-symmetric, so
+    ifft(log|fft(x)|).real == irfft(log|rfft(x)|) exactly."""
+    import jax as _jax
+
+    if jnp.iscomplexobj(x):
+        spec = _fft.fft(x)
+        logmag = jnp.log(jnp.abs(spec) + 1e-12)
+        return _fft.ifft(logmag.astype(spec.dtype)).real
+    n = x.shape[-1]
+    dt = _fft._real_compute_dtype(x)
+    xs = _fft.rfft(x.astype(dt))
+    logmag = jnp.log(jnp.abs(xs) + 1e-12)
+    return _fft.irfft(_jax.lax.complex(logmag, jnp.zeros_like(logmag)), n)
 
 
 def _causal_cepstrum_window(c):

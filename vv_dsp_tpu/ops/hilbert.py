@@ -14,7 +14,10 @@ Mask semantics (src/spectral/hilbert.c:47-59):
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from vv_dsp_tpu.ops import fft as _fft
@@ -31,21 +34,44 @@ def _analytic_mask(n: int) -> np.ndarray:
     return h
 
 
-def hilbert_analytic(x):
-    """Analytic signal z = x + j*H[x] of (..., n) real -> complex."""
+@functools.lru_cache(maxsize=32)
+def _hilbert_mult(n: int):
+    """One-sided multiplier s with H[x] = irfft(-i * s * rfft(x)): s = 1 on
+    strictly-positive non-Nyquist bins, 0 at DC (and Nyquist for even n) —
+    the rfft/irfft factorization of the reference's two-sided mask
+    (src/spectral/hilbert.c:47-59): ifft(fft(x) * mask) == x + i*H[x]
+    exactly, but runs as TWO half-cost REAL transforms instead of full c2c
+    forward + Hermitian expand + full c2c inverse (measured 4.36 -> 2.60 ms
+    at 479232 x 16ch, v5e round 5)."""
+    s = np.zeros(n // 2 + 1, dtype=np.float64)
+    s[1: (n + 1) // 2] = 1.0
+    return s
+
+
+def _hilbert_pair(x):
+    """(x_f32, H[x]) for real input through the r2c/c2r fast tiers."""
     n = x.shape[-1]
-    # through the universal dispatch (ops.fft) like every transform
-    # consumer in the reference goes through the one plan vtable
-    # (src/spectral/fft.c:95-124): honors set_fft_backend + fast tiers.
-    # Real input goes in UNcast — fft() routes real arrays through the
-    # r2c + Hermitian-mirror half-cost path on the fast tiers; a complex
-    # pre-cast would forfeit it (round-4 verdict finding).
+    dt = _fft._real_compute_dtype(x)
+    x = x.astype(dt)
+    xs = _fft.rfft(x)
+    s = jnp.asarray(_hilbert_mult(n), dtype=dt)
+    # -i * (re + i*im) * s = (im * s) + i * (-re * s)
+    y = jax.lax.complex(jnp.imag(xs) * s, -jnp.real(xs) * s)
+    return x, _fft.irfft(y, n)
+
+
+def hilbert_analytic(x):
+    """Analytic signal z = x + j*H[x] of (..., n) real -> complex.
+
+    All transforms go through the universal dispatch (ops.fft) like every
+    transform consumer in the reference goes through the one plan vtable
+    (src/spectral/fft.c:95-124): honors set_fft_backend + fast tiers."""
+    n = x.shape[-1]
     if jnp.iscomplexobj(x):
         mask = jnp.asarray(_analytic_mask(n), dtype=jnp.real(x).dtype)
         return _fft.ifft(_fft.fft(x) * mask)
-    dt = _fft._real_compute_dtype(x)
-    mask = jnp.asarray(_analytic_mask(n), dtype=dt)
-    return _fft.ifft(_fft.fft(x.astype(dt)) * mask)
+    xr, h = _hilbert_pair(x)
+    return jax.lax.complex(xr, h)
 
 
 def instantaneous_phase(z):
@@ -66,5 +92,9 @@ def instantaneous_frequency(phase, fs: float):
 
 
 def envelope(x):
-    """|analytic| amplitude envelope."""
-    return jnp.abs(hilbert_analytic(x))
+    """|analytic| amplitude envelope; real input never materializes the
+    complex analytic signal (|z| = sqrt(x^2 + H[x]^2))."""
+    if jnp.iscomplexobj(x):
+        return jnp.abs(hilbert_analytic(x))
+    xr, h = _hilbert_pair(x)
+    return jnp.sqrt(xr * xr + h * h)

@@ -1063,30 +1063,6 @@ def _ola_strips_epilogue(main, spill, c, steps, tk, hop, q, output_len,
     return recon[:, :output_len] / norm
 
 
-def _packed_storage_rows_T(natT, m: int, lstop: int, m_pad: int):
-    """Natural-bin ROWS (..., >= m_pad bins, frames) -> packed storage rows,
-    permuting on the MAJOR (sublane) axis — each moved row is a contiguous
-    lane run, so XLA's copy emitter runs at bandwidth where the pre-round-5
-    minor-axis form (_packed_storage_from_natural before the transpose)
-    cost 0.71 ms of the 2.68 ms inverse at 1024/256 (benchmarks/
-    attr_istft.py).  Rows m+1.. are dead padding (zeros from the caller's
-    pad); row m is the Nyquist."""
-    plan = _packed_residue_plan(m, lstop)
-    if plan is None:
-        src = _packed_storage_bins(m, lstop, m_pad)
-        idx = jnp.asarray(np.where(src >= 0, src, m + 1))
-        return jnp.take(natT, idx, axis=-2)
-    nb = m // lstop
-    blocks = [None] * nb
-    for r in range(nb):
-        j, asc = plan[r]
-        s = natT[..., r: r + nb * lstop: nb, :]
-        blocks[j] = s if asc else s[..., ::-1, :]
-    nyq = natT[..., m: m + 1, :]
-    dead = natT[..., m + 1: m_pad, :]
-    return jnp.concatenate([*blocks, nyq, dead], axis=-2)
-
-
 def istft_packed(spec, nfft: int, hop: int, output_len: int,
                  window: str = "hann", window_param=None,
                  rfft: bool = False, interpret: bool | None = None,
@@ -1099,16 +1075,17 @@ def istft_packed(spec, nfft: int, hop: int, output_len: int,
     reference's partial-coverage edge norm.
 
     Round-5 I/O restructure (benchmarks/attr_istft.py attribution: of the
-    old 2.68 ms at 1024/256x16ch, 0.71 ms was the natural->storage minor
-    -axis prologue, ~0.99 ms DMA/grid overhead at the pinned tk=128, and
-    0.25 ms the spill-add epilogue — the FFT math itself was 0.43 ms):
-    the prologue now permutes rows on the MAJOR axis after the transpose
-    (contiguous-lane row moves), the spectrum planes stream through
-    double-buffered BlockSpec inputs instead of in-kernel blocking DMAs
-    (which widens the profitable tile to tk=512), and the OLA strip keeps
-    a one-lane-tile spill instead of mirroring the full tile width."""
-    from vv_dsp_tpu.ops.window import get_window_np
-
+    old 2.68 ms at 1024/256x16ch, 0.71 ms was the natural->storage
+    prologue — dominated by the XLA minor<->major transpose, ~1.0 ms
+    standalone on these planes — ~0.99 ms DMA/base, and 0.25 ms the
+    spill-add epilogue; the FFT math itself was 0.43 ms): the prologue now
+    does ONLY the minor-axis bin permutation (which XLA fuses with the
+    complex split + pad into one pass), the planes stay FRAME-major so the
+    kernel's double-buffered input blocks are contiguous, the
+    bins-on-sublanes working orientation comes from a free Mosaic in-VMEM
+    transpose, and the OLA strip keeps a one-lane-tile spill instead of
+    mirroring the full tile width (half the roll traffic + output
+    volume, epilogue spill-fold measured ~free)."""
     if interpret is None:
         interpret = not _on_tpu()
     if not stft_mel_packed_supported(nfft, hop):
@@ -1119,17 +1096,10 @@ def istft_packed(spec, nfft: int, hop: int, output_len: int,
     c, nf, bins = spec.shape
     m = nfft // 2
     q = nfft // hop
-    # byte model: re/im input blocks double-buffered (4*m_pad), zre/zim
-    # scratch + the interleave/butterfly full-tile temporaries (~4*m), OLA
-    # strip + out (2*hop); hardware-verified picks in
-    # tests/test_tpu_hardware.py (VMEM ceilings are context-dependent —
-    # never widen without a direct-call compile on a chip)
     m_pad = m + 8
     tk = _pick_tk(nf, 4 * (4 * m_pad + 4 * m + 2 * hop),
                   fixed_bytes=4 * 2 * 128 * hop + 2 ** 20, cap=512)
-    sw = _round_up(max(q - 1, 1), 128)
     lstop = min(_LSTOP, m)
-    n_stages = (m // lstop).bit_length() - 1
 
     if rfft:
         if bins != m + 1:
@@ -1140,17 +1110,39 @@ def istft_packed(spec, nfft: int, hop: int, output_len: int,
             raise ValueError("rfft=False expects nfft bins")
         half = spec[..., : m + 1]
     nf_p = _round_up(nf, tk)
+    # prologue: complex split + storage-row permutation on the minor axis
+    # + pad + minor<->major transpose, in ONE XLA pass chain (measured:
+    # XLA fuses the permutation and split INTO the transpose — this exact
+    # order costs ~0.7 ms at 1024/256x16ch where permute-after-transpose
+    # costs 1.37 and an in-kernel Mosaic transpose variant ran 3.1 ms
+    # end-to-end against 1.97; see benchmarks/attr_istft.py round-5 logs)
+    re_n = _packed_storage_from_natural(jnp.real(half).astype(jnp.float32),
+                                        m, lstop, m_pad)
+    im_n = _packed_storage_from_natural(jnp.imag(half).astype(jnp.float32),
+                                        m, lstop, m_pad)
+    re_t = jnp.swapaxes(jnp.pad(re_n, ((0, 0), (0, nf_p - nf), (0, 0))),
+                        -1, -2)
+    im_t = jnp.swapaxes(jnp.pad(im_n, ((0, 0), (0, nf_p - nf), (0, 0))),
+                        -1, -2)
+    return _istft_from_storage_planes(
+        re_t, im_t, c, nfft, hop, q, m, m_pad, tk, nf, output_len, window,
+        window_param, interpret, algorithm)
+
+
+def _istft_from_storage_planes(re_t, im_t, c, nfft, hop, q, m, m_pad, tk,
+                               nf, output_len, window, window_param,
+                               interpret, algorithm):
+    """Shared back half of istft_packed / istft_packed_from_storage: run
+    the packed inverse kernel over bins-major (c, m_pad, nf_p)
+    storage-layout planes (the forward spectrum kernel's raw output
+    layout) and fold the OLA strips."""
+    from vv_dsp_tpu.ops.window import get_window_np
+
+    sw = _round_up(max(q - 1, 1), 128)
+    lstop = min(_LSTOP, m)
+    n_stages = (m // lstop).bit_length() - 1
+    nf_p = re_t.shape[2]
     steps = nf_p // tk
-    # frames padded -> transpose (pure, minor<->major) -> storage rows on
-    # the MAJOR axis; bins pad to m_pad gives the dead rows for free
-    re_n = jnp.pad(jnp.real(half).astype(jnp.float32),
-                   ((0, 0), (0, nf_p - nf), (0, m_pad - (m + 1))))
-    im_n = jnp.pad(jnp.imag(half).astype(jnp.float32),
-                   ((0, 0), (0, nf_p - nf), (0, m_pad - (m + 1))))
-    re_t = _packed_storage_rows_T(jnp.swapaxes(re_n, -1, -2), m, lstop,
-                                  m_pad)
-    im_t = _packed_storage_rows_T(jnp.swapaxes(im_n, -1, -2), m, lstop,
-                                  m_pad)
 
     w_np = get_window_np(window, nfft, window_param).astype(np.float32)
     twr, twi = _stage_twiddles(m, n_stages)
@@ -1199,16 +1191,127 @@ def istft_packed(spec, nfft: int, hop: int, output_len: int,
                                 output_len, norm)
 
 
-def stft_spectrum_packed(x, nfft: int, hop: int, window: str = "hann",
-                         window_param=None, onesided: bool = False,
-                         interpret: bool | None = None,
-                         algorithm: str | None = None):
-    """Windowed complex STFT spectrum via the PACKED-REAL Stockham kernel
-    (m = nfft/2 complex FFT + paired-row Hermitian unpack — half the
-    butterfly/tail work of stft_spectrum_stockham and half the raw output
-    rows): (channels, n) real -> (channels, frames, bins) complex64, bins
-    = nfft (two-sided, Hermitian-expanded in XLA) or nfft//2+1.  Matches
-    STFT(...).process to f32 rounding."""
+class PackedSpectrum:
+    """Opaque STFT spectrum in the packed kernels' STORAGE layout: two f32
+    planes (channels, nfft//2+8, frames_padded) holding the one-sided
+    windowed rfft of each frame, rows in packed-storage order (Nyquist at
+    row nfft//2, rows above it dead padding).  The zero-copy contract
+    between the forward spectrum kernel and the inverse kernel: a
+    process_packed -> [pointwise edits] -> reconstruct_packed roundtrip
+    skips BOTH natural-order layout passes (measured 1.0-1.4 ms of pure
+    relayout per roundtrip at 1024/256 x 16ch x 479k — benchmarks/
+    attr_istft.py), which the natural-order API cannot avoid.
+
+    Pointwise spectral edits go through apply_mask / scale (bin-indexed
+    constants are permuted into storage order host-side).  Serving-path
+    API: no custom autodiff (use STFT.process/reconstruct for training)."""
+
+    def __init__(self, re, im, nfft: int, hop: int, nf: int):
+        self.re = re
+        self.im = im
+        self.nfft = nfft
+        self.hop = hop
+        self.nf = nf
+
+    @property
+    def power_rows(self):
+        """|X|^2 in storage-row order (rows above nfft//2 are dead)."""
+        return self.re * self.re + self.im * self.im
+
+    def bin_to_row(self) -> np.ndarray:
+        """row index holding each natural bin 0..nfft//2 (host constant)."""
+        m = self.nfft // 2
+        src = _packed_storage_bins(m, min(_LSTOP, m), m + 8)
+        inv = np.zeros(m + 1, np.int64)
+        inv[src[src >= 0]] = np.nonzero(src >= 0)[0]
+        return inv
+
+    def apply_mask(self, mask_natural) -> "PackedSpectrum":
+        """Multiply by a per-bin mask given in NATURAL one-sided bin order
+        (nfft//2+1 values): the mask is permuted to storage rows host-side
+        (tiny constant), the planes scale in one fused elementwise pass."""
+        m = self.nfft // 2
+        mask_natural = np.asarray(mask_natural, np.float32)
+        if mask_natural.shape[-1] != m + 1:
+            raise ValueError(f"mask must have {m + 1} one-sided bins")
+        src = _packed_storage_bins(m, min(_LSTOP, m), m + 8)
+        rows = np.where(src >= 0, mask_natural[np.where(src >= 0, src, 0)],
+                        0.0).astype(np.float32)[:, None]
+        rj = jnp.asarray(rows)
+        return PackedSpectrum(self.re * rj, self.im * rj, self.nfft,
+                              self.hop, self.nf)
+
+    def to_natural(self, onesided: bool = True):
+        """Materialize the ordinary complex spectrum (channels, frames,
+        bins) — the interop escape hatch (costs the layout pass the packed
+        roundtrip exists to avoid)."""
+        m = self.nfft // 2
+        lstop = min(_LSTOP, m)
+        pw_re = jnp.swapaxes(self.re, -1, -2)[:, :self.nf, :]
+        pw_im = jnp.swapaxes(self.im, -1, -2)[:, :self.nf, :]
+        if onesided:
+            return jax.lax.complex(
+                _packed_natural_onesided(pw_re, m, lstop),
+                _packed_natural_onesided(pw_im, m, lstop))
+        return _packed_natural_full(pw_re, pw_im, m, lstop)
+
+
+# pytree registration: planes are leaves, geometry is static aux — so a
+# PackedSpectrum crosses jit/vmap boundaries and can be returned from
+# jitted serving functions
+jax.tree_util.register_pytree_node(
+    PackedSpectrum,
+    lambda ps: ((ps.re, ps.im), (ps.nfft, ps.hop, ps.nf)),
+    lambda aux, kids: PackedSpectrum(kids[0], kids[1], *aux))
+
+
+def stft_spectrum_packed_raw(x, nfft: int, hop: int, window: str = "hann",
+                             window_param=None,
+                             interpret: bool | None = None,
+                             algorithm: str | None = None) -> PackedSpectrum:
+    """Forward STFT via the packed-real kernel, returning the kernel's RAW
+    storage-layout planes (PackedSpectrum) with no natural-order epilogue
+    — the zero-copy input of istft_packed_from_storage."""
+    re, im, nf = _spectrum_packed_planes(x, nfft, hop, window, window_param,
+                                         interpret, algorithm)
+    return PackedSpectrum(re, im, nfft, hop, nf)
+
+
+def istft_packed_from_storage(ps: PackedSpectrum, output_len: int,
+                              window: str = "hann", window_param=None,
+                              interpret: bool | None = None,
+                              algorithm: str | None = None):
+    """Inverse STFT from storage-layout planes (PackedSpectrum), skipping
+    the natural->storage prologue entirely: the planes feed the inverse
+    kernel as-is.  Same OLA/norm semantics as STFT(...).reconstruct."""
+    if interpret is None:
+        interpret = not _on_tpu()
+    nfft, hop, nf = ps.nfft, ps.hop, ps.nf
+    if not stft_mel_packed_supported(nfft, hop):
+        raise ValueError("unsupported geometry")
+    m = nfft // 2
+    m_pad = m + 8
+    q = nfft // hop
+    c = ps.re.shape[0]
+    tk = _pick_tk(nf, 4 * (4 * m_pad + 4 * m + 2 * hop),
+                  fixed_bytes=4 * 2 * 128 * hop + 2 ** 20, cap=512)
+    nf_have = ps.re.shape[-1]
+    nf_p = _round_up(nf_have, tk)
+    re_t, im_t = ps.re, ps.im
+    if nf_p != nf_have:
+        re_t = jnp.pad(re_t, ((0, 0), (0, 0), (0, nf_p - nf_have)))
+        im_t = jnp.pad(im_t, ((0, 0), (0, 0), (0, nf_p - nf_have)))
+    return _istft_from_storage_planes(
+        re_t, im_t, c, nfft, hop, q, m, m_pad, tk, nf, output_len, window,
+        window_param, interpret, algorithm)
+
+
+def _spectrum_packed_planes(x, nfft: int, hop: int, window: str,
+                            window_param, interpret, algorithm):
+    """Run the packed-real forward spectrum kernel, returning its raw
+    (c, m_pad, nf_p) storage-layout (re, im) planes + the valid frame
+    count — shared by stft_spectrum_packed (natural epilogue) and
+    stft_spectrum_packed_raw (zero-copy PackedSpectrum)."""
     from vv_dsp_tpu.ops.window import get_window_np
 
     if interpret is None:
@@ -1276,7 +1379,23 @@ def stft_spectrum_packed(x, nfft: int, hop: int, window: str = "hann",
     )(xt, jnp.asarray(we), jnp.asarray(wo), jnp.asarray(twr),
       jnp.asarray(twi), jnp.asarray(dp), jnp.asarray(dpr),
       jnp.asarray(dpr0), jnp.asarray(wkr), jnp.asarray(wki))
+    return re, im, nf
 
+
+def stft_spectrum_packed(x, nfft: int, hop: int, window: str = "hann",
+                         window_param=None, onesided: bool = False,
+                         interpret: bool | None = None,
+                         algorithm: str | None = None):
+    """Windowed complex STFT spectrum via the PACKED-REAL Stockham kernel
+    (m = nfft/2 complex FFT + paired-row Hermitian unpack — half the
+    butterfly/tail work of stft_spectrum_stockham and half the raw output
+    rows): (channels, n) real -> (channels, frames, bins) complex64, bins
+    = nfft (two-sided, Hermitian-expanded in XLA) or nfft//2+1.  Matches
+    STFT(...).process to f32 rounding."""
+    re, im, nf = _spectrum_packed_planes(x, nfft, hop, window, window_param,
+                                         interpret, algorithm)
+    m = nfft // 2
+    lstop = min(_LSTOP, m)
     # natural bin order, gather-free: aligned slices + one interleaving
     # stack (the storage rows are blockwise-affine in bin — see
     # _packed_residue_plan); the two-sided form folds the Hermitian mirror
