@@ -46,3 +46,24 @@ def test_gate_on_tpu():
     out = subprocess.run([sys.executable, GATE], capture_output=True,
                          text=True, timeout=1800)
     assert out.returncode == 0, out.stdout + out.stderr
+
+
+def test_compare_catches_synthetic_ten_percent_injection():
+    """The gate's comparison logic at its 10% threshold: a synthetic -10.5%
+    row must fail, a -5% row must pass (chain-timed best-of-3 rows drift
+    ~±4%, so 10% is above noise and below real regressions)."""
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    import check_perf_regression as gate
+
+    base = {"rowA": {"value": 1000.0}, "rowB": {"value": 2000.0}}
+    rows = {"rowA": {"value": 895.0}, "rowB": {"value": 1900.0}}
+    lines, failed = gate.compare(rows, base, threshold=0.10)
+    assert len(lines) == 2
+    assert len(failed) == 1 and failed[0].startswith("rowA")
+
+    rows_ok = {"rowA": {"value": 950.0}, "rowB": {"value": 2000.0}}
+    _, failed_ok = gate.compare(rows_ok, base, threshold=0.10)
+    assert not failed_ok
+
+    _, failed_missing = gate.compare({"rowA": {"value": 1000.0}}, base, 0.10)
+    assert any("MISSING" in f for f in failed_missing)

@@ -73,7 +73,7 @@ from vv_dsp_tpu.ops.framing import num_frames, fetch_frames, overlap_add
 #   vv_dsp_tpu.ops.pallas_kernels — Pallas TPU kernels
 #   vv_dsp_tpu.utils.{profiling,checkpoint}
 
-__version__ = "0.4.0"
+__version__ = "0.5.0"
 
 
 def __getattr__(name):
