@@ -36,6 +36,15 @@ def main():
     ap.add_argument("--json-out", default=None,
                     help="process 0 writes {n_processes, n_devices, "
                          "fir_msps, chain_msps} JSON here")
+    ap.add_argument("--chain-mode", choices=["staged", "fused"],
+                    default="staged",
+                    help="apply_sharded halo strategy. 'staged' (default "
+                         "here) keeps the gloo sweep comparable to earlier "
+                         "rounds AND is the honest efficiency test: the "
+                         "fused path's gather-heavy local body runs ~2.7x "
+                         "slower on 1-core CPU XLA, which would deflate "
+                         "the comm/compute ratio (on TPU both paths share "
+                         "kernels and 'fused' halves collective rounds)")
     ap.add_argument("--local-only", action="store_true",
                     help="no distributed init: run the same per-device work "
                          "on a private 1-device mesh (the no-communication "
@@ -133,7 +142,8 @@ def main():
                 print(f"  stage {name}: {dt*1e3:.1f} ms")
 
     chain = NorthStarChain()
-    cstep = jax.jit(lambda v: chain.apply_sharded(v, mesh))
+    cstep = jax.jit(lambda v: chain.apply_sharded(
+        v, mesh, fuse_halos=(args.chain_mode == "fused")))
     dt = timed(cstep, iters=3)
     chain_msps = args.channels * n / dt / 1e6
     if jax.process_index() == 0:

@@ -26,7 +26,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def run_config(n_procs: int, per_device: int, channels: int, port: int,
-               local_only: bool = False):
+               local_only: bool = False, chain_mode: str = "staged"):
     out_paths = ([f"/tmp/scaling_local_{n_procs}_{p}.json"
                   for p in range(n_procs)] if local_only
                  else [f"/tmp/scaling_{n_procs}.json"])
@@ -49,7 +49,8 @@ def run_config(n_procs: int, per_device: int, channels: int, port: int,
                                             "launch_multihost.py"),
                "--per-device-samples", str(per_device),
                "--channels", str(channels),
-               "--json-out", out_paths[pid if local_only else 0]]
+               "--json-out", out_paths[pid if local_only else 0],
+               "--chain-mode", chain_mode]
         if local_only:
             cmd += ["--local-only", "--process-id", str(pid)]
         else:
@@ -88,6 +89,8 @@ def main():
     ap.add_argument("--channels", type=int, default=16)
     ap.add_argument("--out", default=os.path.join(REPO, "benchmarks",
                                                   "scaling_report.json"))
+    ap.add_argument("--chain-mode", choices=["staged", "fused"],
+                    default="staged")
     ap.add_argument("--repeats", type=int, default=3,
                     help="full-sweep repeats; per-config BEST throughput "
                          "is kept (single sweeps on this shared 4-core box "
@@ -102,9 +105,11 @@ def main():
         lr = None
         for rep in range(max(1, args.repeats)):
             ri = run_config(n, args.per_device_samples, args.channels,
-                            9876 + 16 * rep + i)
+                            9876 + 16 * rep + i,
+                            chain_mode=args.chain_mode)
             lri = run_config(n, args.per_device_samples, args.channels,
-                             9876 + 16 * rep + i, local_only=True)
+                             9876 + 16 * rep + i, local_only=True,
+                             chain_mode=args.chain_mode)
             if r is None or ri["chain_msps"] > r["chain_msps"]:
                 r = ri
             if lr is None or lri["chain_msps"] > lr["chain_msps"]:
@@ -137,6 +142,7 @@ def main():
 
     report = {
         "mode": "weak",
+        "chain_mode": args.chain_mode,
         "backend": "cpu+gloo (one process per simulated host, one device "
                    "per process)",
         "per_device_samples": args.per_device_samples,
