@@ -590,7 +590,8 @@ def _stft_spectrum_packed_kernel(xt_hbm, we_ref, wo_ref, twr_ref, twi_ref,
                                  dp_ref, dpr_ref, dpr0_ref, wkr_ref,
                                  wki_ref, ore_ref, oim_ref, xv, sre_ref,
                                  sim_ref, sem, *, m, mhop, q, tk, lanes_p,
-                                 n_stages, lstop, selfs, crosses, algorithm):
+                                 n_stages, lstop, selfs, crosses,
+                                 algorithm):
     c = pl.program_id(0)
     fbk = pl.program_id(1)
     dma = pltpu.make_async_copy(
@@ -610,10 +611,76 @@ def _stft_spectrum_packed_kernel(xt_hbm, we_ref, wo_ref, twr_ref, twi_ref,
     _forward_stages(sre_ref, sim_ref, twr_ref, twi_ref, nfft=m, tk=tk,
                     n_stages=n_stages, real_input=False)
     _packed_tail_spectrum(sre_ref, sim_ref, ore_ref.at[0], oim_ref.at[0],
-                          dp_ref,
+                          dp_ref, dpr_ref, dpr0_ref, wkr_ref, wki_ref,
+                          m=m, tk=tk, lstop=lstop, selfs=selfs,
+                          crosses=crosses, algorithm=algorithm)
+
+
+def _stft_spectrum_packed_kernel_manual(xt_hbm, we_ref, wo_ref, twr_ref,
+                                        twi_ref, dp_ref, dpr_ref, dpr0_ref,
+                                        wkr_ref, wki_ref, ore_hbm, oim_hbm,
+                                        xv, sre_ref, sim_ref, obr, obi, sem,
+                                        osem, *, m, mhop, q, tk, lanes_p,
+                                        steps, n_chan, n_stages, lstop,
+                                        selfs, crosses, algorithm):
+    """Spectrum planes leave through MANUAL single-buffered DMA writes
+    (HBM out refs + async copy, waiting for the previous step's write
+    before reusing the scratch) instead of double-buffered out_specs
+    blocks: saving the 2 x (m_pad, tk) x 4B second buffer is what lets
+    nfft=2048 run tk=512 safely — measured 1.29 vs 2.01 ms on the
+    2048/512 c2c row at 16ch x 479k, bit-exact
+    (benchmarks/attr_spectrum_manual_out.py, round 5).  ONLY used at
+    m = 1024: with no BlockSpec operands at all, Mosaic stops
+    overlapping the per-step DMAs with compute (~7 us/step), which
+    regressed every OTHER geometry 20-30% when this was made the
+    default — the double-buffered out_specs form wins wherever its VMEM
+    fits the optimal tile."""
+    c = pl.program_id(0)
+    fbk = pl.program_id(1)
+    dma = pltpu.make_async_copy(
+        xt_hbm.at[c, :, pl.ds(fbk * tk, lanes_p)], xv, sem)
+    dma.start()
+    dma.wait()
+    v = xv[:].reshape(mhop, 2, lanes_p)
+    xevv = v[:, 0, :]
+    xovv = v[:, 1, :]
+    for r in range(q):
+        pe = xevv if r == 0 else pltpu.roll(xevv, lanes_p - r, 1)
+        po = xovv if r == 0 else pltpu.roll(xovv, lanes_p - r, 1)
+        sre_ref[r * mhop:(r + 1) * mhop, :] = (
+            pe[:, :tk] * we_ref[r * mhop:(r + 1) * mhop, :])
+        sim_ref[r * mhop:(r + 1) * mhop, :] = (
+            po[:, :tk] * wo_ref[r * mhop:(r + 1) * mhop, :])
+    _forward_stages(sre_ref, sim_ref, twr_ref, twi_ref, nfft=m, tk=tk,
+                    n_stages=n_stages, real_input=False)
+    first = jnp.logical_and(c == 0, fbk == 0)
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        # same-shape descriptor -> same semaphore byte count as the
+        # previous step's write
+        pc = c - jnp.where(fbk == 0, 1, 0)
+        pfb = jnp.where(fbk == 0, steps - 1, fbk - 1)
+        pltpu.make_async_copy(
+            obr, ore_hbm.at[pc, :, pl.ds(pfb * tk, tk)], osem.at[0]).wait()
+        pltpu.make_async_copy(
+            obi, oim_hbm.at[pc, :, pl.ds(pfb * tk, tk)], osem.at[1]).wait()
+    _packed_tail_spectrum(sre_ref, sim_ref, obr, obi, dp_ref,
                           dpr_ref, dpr0_ref, wkr_ref, wki_ref, m=m, tk=tk,
                           lstop=lstop, selfs=selfs, crosses=crosses,
                           algorithm=algorithm)
+    w1 = pltpu.make_async_copy(
+        obr, ore_hbm.at[c, :, pl.ds(fbk * tk, tk)], osem.at[0])
+    w2 = pltpu.make_async_copy(
+        obi, oim_hbm.at[c, :, pl.ds(fbk * tk, tk)], osem.at[1])
+    w1.start()
+    w2.start()
+    last = jnp.logical_and(c == n_chan - 1, fbk == steps - 1)
+
+    @pl.when(last)
+    def _():
+        w1.wait()
+        w2.wait()
 
 
 def _stft_power_packed_kernel(xt_hbm, we_ref, wo_ref, twr_ref, twi_ref,
@@ -1328,9 +1395,23 @@ def _spectrum_packed_planes(x, nfft: int, hop: int, window: str,
     m = nfft // 2
     mhop = hop // 2
     q = nfft // hop
+    m_pad = m + 8
     nf = 1 if n < nfft else 1 + (n - nfft + hop) // hop
-    tk = _pick_tk(nf, 4 * (2 * m + 4 * (m + 8) + hop),
-                  fixed_bytes=4 * 128 * hop + 2 ** 20)
+    # m = 1024 (nfft 2048) runs the MANUAL single-buffered-output kernel:
+    # freeing the second (m_pad, tk) out buffer is what fits tk=512 under
+    # the VMEM budget there (measured 5,690 vs 5,627 Msps on the
+    # 2048/512 c2c row, and bit-exact).  Everywhere else the
+    # double-buffered out_specs kernel wins — making manual the default
+    # regressed every other geometry 20-30% (no BlockSpec operands -> no
+    # DMA/compute overlap), and at m = 2048 wide manual picks crash the
+    # Mosaic compiler; hardware guards in tests/test_tpu_hardware.py.
+    manual = (m == 1024)
+    if manual:
+        tk = _pick_tk(nf, 4 * (2 * m + 2 * m_pad + hop),
+                      fixed_bytes=4 * 2 * 128 * hop + 2 ** 20, cap=512)
+    else:
+        tk = _pick_tk(nf, 4 * (2 * m + 4 * m_pad + hop),
+                      fixed_bytes=4 * 128 * hop + 2 ** 20)
     lstop = min(_LSTOP, m)
     n_stages = (m // lstop).bit_length() - 1
     nf_p = _round_up(nf, tk)
@@ -1346,26 +1427,56 @@ def _spectrum_packed_planes(x, nfft: int, hop: int, window: str,
     dp, dpr, dpr0 = _packed_tail_mats(lstop)
     wkr, wki = _packed_wk(nfft, lstop)
     selfs, crosses, _ = _packed_pair_plan(m, lstop)
-    m_pad = m + 8
+    steps = nf_p // tk
 
+    const = lambda shape: pl.BlockSpec(shape, lambda c, f: (0, 0),
+                                       memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.HBM),
+        const((m, 1)), const((m, 1)), const(twr.shape),
+        const(twi.shape), const(dp.shape), const(dpr.shape),
+        const(dpr0.shape), const((m, 1)), const((m, 1)),
+    ]
+    args = (xt, jnp.asarray(we), jnp.asarray(wo), jnp.asarray(twr),
+            jnp.asarray(twi), jnp.asarray(dp), jnp.asarray(dpr),
+            jnp.asarray(dpr0), jnp.asarray(wkr), jnp.asarray(wki))
+    if manual:
+        kernel = functools.partial(
+            _stft_spectrum_packed_kernel_manual, m=m, mhop=mhop, q=q,
+            tk=tk, lanes_p=lanes_p, steps=steps, n_chan=c,
+            n_stages=n_stages, lstop=lstop, selfs=tuple(selfs),
+            crosses=tuple(crosses), algorithm=_dot_algorithm(algorithm))
+        re, im = pl.pallas_call(
+            kernel,
+            grid=(c, steps),
+            in_specs=in_specs,
+            out_specs=(pl.BlockSpec(memory_space=pltpu.HBM),
+                       pl.BlockSpec(memory_space=pltpu.HBM)),
+            out_shape=(jax.ShapeDtypeStruct((c, m_pad, nf_p), jnp.float32),
+                       jax.ShapeDtypeStruct((c, m_pad, nf_p), jnp.float32)),
+            scratch_shapes=[
+                pltpu.VMEM((hop, lanes_p), jnp.float32),
+                pltpu.VMEM((m, tk), jnp.float32),
+                pltpu.VMEM((m, tk), jnp.float32),
+                pltpu.VMEM((m_pad, tk), jnp.float32),
+                pltpu.VMEM((m_pad, tk), jnp.float32),
+                pltpu.SemaphoreType.DMA,
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+            interpret=interpret,
+        )(*args)
+        return re, im, nf
     kernel = functools.partial(
         _stft_spectrum_packed_kernel, m=m, mhop=mhop, q=q, tk=tk,
         lanes_p=lanes_p, n_stages=n_stages, lstop=lstop,
         selfs=tuple(selfs), crosses=tuple(crosses),
         algorithm=_dot_algorithm(algorithm))
-    const = lambda shape: pl.BlockSpec(shape, lambda c, f: (0, 0),
-                                       memory_space=pltpu.VMEM)
     spec = pl.BlockSpec((1, m_pad, tk), lambda c, f: (c, 0, f),
                         memory_space=pltpu.VMEM)
     re, im = pl.pallas_call(
         kernel,
-        grid=(c, nf_p // tk),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.HBM),
-            const((m, 1)), const((m, 1)), const(twr.shape),
-            const(twi.shape), const(dp.shape), const(dpr.shape),
-            const(dpr0.shape), const((m, 1)), const((m, 1)),
-        ],
+        grid=(c, steps),
+        in_specs=in_specs,
         out_specs=(spec, spec),
         out_shape=(jax.ShapeDtypeStruct((c, m_pad, nf_p), jnp.float32),
                    jax.ShapeDtypeStruct((c, m_pad, nf_p), jnp.float32)),
@@ -1376,9 +1487,7 @@ def _spectrum_packed_planes(x, nfft: int, hop: int, window: str,
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
-    )(xt, jnp.asarray(we), jnp.asarray(wo), jnp.asarray(twr),
-      jnp.asarray(twi), jnp.asarray(dp), jnp.asarray(dpr),
-      jnp.asarray(dpr0), jnp.asarray(wkr), jnp.asarray(wki))
+    )(*args)
     return re, im, nf
 
 
