@@ -76,6 +76,11 @@ _FOUR_STEP_MAX_N = 1 << 18
 # HBM-resident sweet spot and the HLO's n log n catches up; unmeasured
 # beyond, so the route stops there.
 _CT3_MAX_N = 1 << 22
+# ...and the measured lower crossover vs the two-level form (v5e, 16ch
+# chained c2c): four-step wins at 2^15/2^16 (0.31/0.43 vs 0.42/0.47 ms),
+# ct3 ties-wins at 2^17 (0.73 vs 0.80) and wins 1.6x at 2^18 (1.18 vs
+# 1.89) — the three-level form takes over from here.
+_CT3_MIN_N = 1 << 17
 # Bluestein only while its 5-smooth chirp length p ~ 2n stays on the
 # four-step/dense tiers (p <= _FOUR_STEP_MAX_N); beyond that the chirp's
 # own FFT would fall back to the HLO (or, before this guard, recurse
@@ -175,14 +180,15 @@ def _fft_tier(n: int, kind: str) -> str:
         return "xla"
     if n <= cap:
         return "dense"
-    if n <= _FOUR_STEP_MAX_N and _four_step_factors(n) is not None:
-        return "four_step"
     # six-step three-factor tier: keeps highly-composite large N on the
-    # MXU past the two-level form's n^1.5 crossover (measured round 5:
-    # 2.2-2.6x the XLA HLO at 479232/2^19/2^20 c2c, 16ch chained)
-    if n <= _CT3_MAX_N and _ct3_split(n) is not None \
+    # MXU past the two-level form's crossover (measured round 5: 1.6x the
+    # two-level at 2^18 and 2.2-2.6x the XLA HLO at 479232/2^19/2^20 c2c,
+    # 16ch chained; see _CT3_MIN_N for the lower boundary)
+    if _CT3_MIN_N <= n <= _CT3_MAX_N and _ct3_split(n) is not None \
             and len(_ct3_split(n)) == 3:
         return "ct3"
+    if n <= _FOUR_STEP_MAX_N and _four_step_factors(n) is not None:
+        return "four_step"
     # unfactorable (prime) r2c/c2r up to 4096 still beats the HLO dense
     if kind in ("r2c", "c2r") and n <= _MATMUL_MAX_N:
         return "dense"
