@@ -143,6 +143,7 @@ def main():
     report = {
         "mode": "weak",
         "chain_mode": args.chain_mode,
+        "host_physical_cores": os.cpu_count(),
         "backend": "cpu+gloo (one process per simulated host, one device "
                    "per process)",
         "per_device_samples": args.per_device_samples,
