@@ -386,3 +386,19 @@ def test_stft_mel_wide_tiles_match_xla(rng, nf_target, tk_expect):
     scale = max(1.0, np.abs(ref).max())
     assert got.shape == ref.shape
     assert np.abs(got - ref).max() / scale < 5e-6
+
+
+@pytest.mark.parametrize("nfft,hop", [(1024, 256), (256, 64)])
+def test_gate_split_matches_fused(rng, nfft, hop):
+    """The split spectrum->masked-inverse pair (round 5, the SpectralGate
+    fast path) must reproduce the fused gate kernel on every retained
+    sample."""
+    n = nfft * 4
+    pad = nfft - hop
+    x = np.zeros((2, n + 2 * pad), np.float32)
+    x[:, pad:pad + n] = rng.standard_normal((2, n)).astype(np.float32)
+    xj = jnp.asarray(x)
+    a = np.asarray(pf.stft_gate_packed(xj, nfft, hop, 0.1, interpret=True))
+    b = np.asarray(pf.stft_gate_split(xj, nfft, hop, 0.1, interpret=True))
+    scale = max(1.0, np.abs(a).max())
+    assert np.abs(a[:, pad:pad + n] - b[:, pad:pad + n]).max() / scale < 5e-6

@@ -365,7 +365,11 @@ class SpectralGate:
             # semantics) — the packed-real variant when the geometry
             # allows (half the butterfly/tail work both directions)
             if _pf.stft_gate_packed_supported(self.nfft, self.hop):
-                fast = lambda xv: _pf.stft_gate_packed(
+                # split pair (spectrum kernel -> HBM planes -> in-VMEM
+                # masked inverse): measured ~4% over the single fused
+                # kernel (1.63 vs 1.70 ms at 1024/256 x 16ch x 479k, v5e
+                # — the fused form serializes fwd+inv compute per tile)
+                fast = lambda xv: _pf.stft_gate_split(
                     xv, self.nfft, self.hop, self.threshold, self.window)
             else:
                 fast = lambda xv: _pf.stft_gate_pallas(

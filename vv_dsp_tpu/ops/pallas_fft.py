@@ -1091,8 +1091,24 @@ def _istft_packed_kernel(re_ref, im_ref, w_ref, twr_ref, twi_ref, dpi_ref,
                          dpir_ref, p0_ref, pr_ref, wkr_ref, wki_ref,
                          out_ref, spill_ref, zre, zim, *, m, nfft,
                          hop, q, tk, sw, n_stages, lstop, selfs, crosses,
-                         algorithm):
-    _packed_repack_inverse(re_ref, im_ref, zre, zim, dpi_ref, dpir_ref, p0_ref,
+                         algorithm, thresh2=None):
+    if thresh2 is None:
+        xre, xim = re_ref, im_ref
+    else:
+        # in-VMEM spectral gate (the SpectralGate mask): per-frame peak
+        # over the one-sided powers — rows 0..m of the storage layout
+        # cover exactly the one-sided bins, frames on lanes — then zero
+        # the sub-threshold bins.  Costs one VPU pass over data already
+        # resident in VMEM; the split spectrum_raw -> gated-inverse pair
+        # beats the single fused gate kernel (measured round 5).
+        rv = re_ref[:]
+        iv = im_ref[:]
+        p2 = rv * rv + iv * iv
+        peak2 = jnp.max(p2[:m + 1, :], axis=0, keepdims=True)
+        keep = p2 >= jnp.float32(thresh2) * peak2
+        xre = jnp.where(keep, rv, jnp.zeros_like(rv))
+        xim = jnp.where(keep, iv, jnp.zeros_like(iv))
+    _packed_repack_inverse(xre, xim, zre, zim, dpi_ref, dpir_ref, p0_ref,
                            pr_ref, wkr_ref, wki_ref, twr_ref, twi_ref,
                            m=m, tk=tk, lstop=lstop, n_stages=n_stages,
                            selfs=selfs, crosses=crosses,
@@ -1198,7 +1214,8 @@ def istft_packed(spec, nfft: int, hop: int, output_len: int,
 
 def _istft_from_storage_planes(re_t, im_t, c, nfft, hop, q, m, m_pad, tk,
                                nf, output_len, window, window_param,
-                               interpret, algorithm):
+                               interpret, algorithm,
+                               gate_threshold=None):
     """Shared back half of istft_packed / istft_packed_from_storage: run
     the packed inverse kernel over bins-major (c, m_pad, nf_p)
     storage-layout planes (the forward spectrum kernel's raw output
@@ -1222,7 +1239,9 @@ def _istft_from_storage_planes(re_t, im_t, c, nfft, hop, q, m, m_pad, tk,
     kernel = functools.partial(
         _istft_packed_kernel, m=m, nfft=nfft, hop=hop, q=q, tk=tk, sw=sw,
         n_stages=n_stages, lstop=lstop, selfs=tuple(selfs),
-        crosses=tuple(crosses), algorithm=_dot_algorithm(algorithm))
+        crosses=tuple(crosses), algorithm=_dot_algorithm(algorithm),
+        thresh2=(None if gate_threshold is None
+                 else float(gate_threshold) ** 2))
     const = lambda shape: pl.BlockSpec(shape, lambda c, s: (0, 0),
                                        memory_space=pltpu.VMEM)
     plane = pl.BlockSpec((None, m_pad, tk), lambda c, s: (c, 0, s),
@@ -1347,10 +1366,13 @@ def stft_spectrum_packed_raw(x, nfft: int, hop: int, window: str = "hann",
 def istft_packed_from_storage(ps: PackedSpectrum, output_len: int,
                               window: str = "hann", window_param=None,
                               interpret: bool | None = None,
-                              algorithm: str | None = None):
+                              algorithm: str | None = None,
+                              gate_threshold: float | None = None):
     """Inverse STFT from storage-layout planes (PackedSpectrum), skipping
     the natural->storage prologue entirely: the planes feed the inverse
-    kernel as-is.  Same OLA/norm semantics as STFT(...).reconstruct."""
+    kernel as-is.  Same OLA/norm semantics as STFT(...).reconstruct.
+    gate_threshold applies the SpectralGate per-frame peak mask in-kernel
+    (one VPU pass over VMEM-resident data) before the inverse."""
     if interpret is None:
         interpret = not _on_tpu()
     nfft, hop, nf = ps.nfft, ps.hop, ps.nf
@@ -1370,7 +1392,7 @@ def istft_packed_from_storage(ps: PackedSpectrum, output_len: int,
         im_t = jnp.pad(im_t, ((0, 0), (0, 0), (0, nf_p - nf_have)))
     return _istft_from_storage_planes(
         re_t, im_t, c, nfft, hop, q, m, m_pad, tk, nf, output_len, window,
-        window_param, interpret, algorithm)
+        window_param, interpret, algorithm, gate_threshold=gate_threshold)
 
 
 def _spectrum_packed_planes(x, nfft: int, hop: int, window: str,
@@ -2145,6 +2167,26 @@ def stft_gate_packed(x, nfft: int, hop: int, threshold: float,
     reps = -(-n // hop)
     norm = jnp.asarray(np.tile(norm_np, reps)[:n].astype(np.float32))
     return _ola_strips_epilogue(main, spill, c, steps, tk, hop, q, n, norm)
+
+
+def stft_gate_split(x, nfft: int, hop: int, threshold: float,
+                    window: str = "hann", window_param=None,
+                    interpret: bool | None = None,
+                    algorithm: str | None = None):
+    """SpectralGate as the SPLIT pair: packed spectrum kernel -> HBM
+    storage planes -> inverse kernel with the per-frame peak mask applied
+    in-VMEM (gate_threshold).  Measured FASTER than the single fused gate
+    kernel at 1024/256 x 16ch x 479k on v5e (the fused form serializes
+    forward+inverse compute per tile and loses cross-kernel pipelining;
+    the spectrum round trip through HBM costs less).  Same retained-sample
+    semantics as stft_gate_packed: the caller COLA-pads and slices."""
+    if jnp.iscomplexobj(x):
+        raise TypeError("real input required")
+    ps = stft_spectrum_packed_raw(x, nfft, hop, window, window_param,
+                                  interpret, algorithm)
+    return istft_packed_from_storage(ps, x.shape[-1], window, window_param,
+                                     interpret, algorithm,
+                                     gate_threshold=threshold)
 
 
 def stft_gate_supported(nfft: int, hop: int) -> bool:
