@@ -402,3 +402,40 @@ def test_gate_split_matches_fused(rng, nfft, hop):
     b = np.asarray(pf.stft_gate_split(xj, nfft, hop, 0.1, interpret=True))
     scale = max(1.0, np.abs(a).max())
     assert np.abs(a[:, pad:pad + n] - b[:, pad:pad + n]).max() / scale < 5e-6
+
+
+def test_packed_spectrum_roundtrip_and_interop(rng):
+    """PackedSpectrum (round 5): zero-copy process->reconstruct matches the
+    XLA reference path; to_natural() matches process(); apply_mask with a
+    half-band mask matches masking the natural spectrum."""
+    from vv_dsp_tpu.ops import fft as _fft
+
+    nfft, hop, nf = 512, 128, 40
+    n = (nf - 1) * hop + nfft
+    x = jnp.asarray(rng.standard_normal((2, n)).astype(np.float32))
+    plan = STFT(nfft, hop)
+    ps = pf.stft_spectrum_packed_raw(x, nfft, hop, interpret=True)
+
+    spec = plan._process_xla(x, True)
+    nat = np.asarray(ps.to_natural())
+    scale = max(1.0, float(jnp.abs(spec).max()))
+    assert np.abs(nat - np.asarray(spec)).max() / scale < 5e-6
+
+    ref = np.asarray(plan._ola_norm(_fft.irfft(spec, nfft), n))
+    got = np.asarray(pf.istft_packed_from_storage(ps, n, interpret=True))
+    lo, hi = nfft, n - nfft
+    assert np.abs(got[:, lo:hi] - ref[:, lo:hi]).max() / max(
+        1.0, np.abs(ref).max()) < 5e-6
+
+    mask = np.zeros(nfft // 2 + 1, np.float32)
+    mask[: nfft // 8] = 1.0
+    got_m = np.asarray(pf.istft_packed_from_storage(
+        ps.apply_mask(mask), n, interpret=True))
+    ref_m = np.asarray(plan._ola_norm(
+        _fft.irfft(spec * jnp.asarray(mask), nfft), n))
+    assert np.abs(got_m[:, lo:hi] - ref_m[:, lo:hi]).max() / max(
+        1.0, np.abs(ref_m).max()) < 5e-6
+
+    rows = ps.bin_to_row()
+    assert rows.shape == (nfft // 2 + 1,)
+    assert sorted(rows.tolist()) == sorted(set(rows.tolist()))
