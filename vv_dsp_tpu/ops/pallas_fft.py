@@ -1419,19 +1419,26 @@ def _spectrum_packed_planes(x, nfft: int, hop: int, window: str,
     q = nfft // hop
     m_pad = m + 8
     nf = 1 if n < nfft else 1 + (n - nfft + hop) // hop
-    # m = 1024 (nfft 2048) runs the MANUAL single-buffered-output kernel:
-    # freeing the second (m_pad, tk) out buffer is what fits tk=512 under
-    # the VMEM budget there (measured 5,690 vs 5,627 Msps on the
-    # 2048/512 c2c row, and bit-exact).  Everywhere else the
-    # double-buffered out_specs kernel wins — making manual the default
-    # regressed every other geometry 20-30% (no BlockSpec operands -> no
-    # DMA/compute overlap), and at m = 2048 wide manual picks crash the
-    # Mosaic compiler; hardware guards in tests/test_tpu_hardware.py.
-    manual = (m == 1024)
+    # m = 1024 (nfft 2048) and m = 2048 (nfft 4096) run the MANUAL
+    # single-buffered-output kernel: freeing the second (m_pad, tk) out
+    # buffer is what fits tk=512 / tk=256 under the VMEM budget there
+    # (measured on the c2c rows: 2048/512 +23%, 4096/1024 1.35 vs 1.58
+    # ms, both bit-exact).  Everywhere else the double-buffered out_specs
+    # kernel wins — making manual the default regressed every other
+    # geometry 20-30% (no BlockSpec operands -> no DMA/compute overlap).
+    # m = 2048 is VMEM-fickle: tk=256 compiles at every production hop
+    # (hardware-swept, tests/test_tpu_hardware.py) while 384/512 AND 192
+    # crash Mosaic — so manual applies there only when the pick lands
+    # exactly on 256 (short signals fall back to the known-good dbuf
+    # kernel at tk=128).
+    manual = m in (1024, 2048)
     if manual:
         tk = _pick_tk(nf, 4 * (2 * m + 2 * m_pad + hop),
-                      fixed_bytes=4 * 2 * 128 * hop + 2 ** 20, cap=512)
-    else:
+                      fixed_bytes=4 * 2 * 128 * hop + 2 ** 20,
+                      cap=512 if m == 1024 else 256)
+        if m == 2048 and tk != 256:
+            manual = False
+    if not manual:
         tk = _pick_tk(nf, 4 * (2 * m + 4 * m_pad + hop),
                       fixed_bytes=4 * 128 * hop + 2 ** 20)
     lstop = min(_LSTOP, m)
