@@ -349,7 +349,8 @@ def _fs_twiddle(n1: int, n2: int, n: int, inverse: bool, dtype, scale: float):
 
 def _four_step_parts(xr, xi, n: int, inverse: bool, out_bins: int | None = None,
                      real_output: bool = False,
-                     factors: tuple[int, ...] | None = None):
+                     factors: tuple[int, ...] | None = None,
+                     scale: float | None = None):
     """Four/six-step DFT over the last axis, all-real arithmetic (4 MXU
     matmuls per level complex-input / 2 real-input at the first, plus one
     elementwise twiddle per level).
@@ -365,9 +366,15 @@ def _four_step_parts(xr, xi, n: int, inverse: bool, out_bins: int | None = None,
     n*sum(factors) ~ 3n*n^(1/3) instead of the two-level n^1.5, which is
     what made the HLO win past 2^18 — see _CT3_MAX_N).  Default: the
     balanced two-level _four_step_factors split.
+
+    scale: the factor folded into THIS level's twiddle.  None (top level)
+    applies the reference's 1/n inverse convention; the recursion passes
+    1.0 so inner transforms run unscaled (scaling lives in twiddles only).
     """
     if factors is None:
         factors = _four_step_factors(n)
+    if scale is None:
+        scale = 1.0 / n if inverse else 1.0
     n1 = factors[0]
     n2 = n // n1
     dt = xr.dtype
@@ -389,11 +396,6 @@ def _four_step_parts(xr, xi, n: int, inverse: bool, out_bins: int | None = None,
         br = mm1(f1r, ar) - mm1(f1i, ai)
         bi = mm1(f1i, ar) + mm1(f1r, ai)
 
-    # reference 1/n inverse convention, folded into the TOP-level twiddle
-    # only (recursive sub-transforms run unscaled)
-    scale = 1.0 / n if (inverse and len(factors) <= 3) else 1.0
-    if inverse and len(factors) > 3:  # defensive: deeper plans not emitted
-        raise ValueError("factor plans deeper than 3 are not supported")
     tr, ti = _fs_twiddle(n1, n2, n, inverse, dt, scale)
     cr = br * tr - bi * ti
     ci = br * ti + bi * tr
@@ -407,59 +409,11 @@ def _four_step_parts(xr, xi, n: int, inverse: bool, out_bins: int | None = None,
         di = None if real_output else mm2(cr, f2i) + mm2(ci, f2r)
     else:
         # inner n2-point transform along the last axis, recursively
-        # factorized; 1/n2 re-scaling suppressed via the explicit factors
-        # path (the sub-twiddle scale is 1 because its len(factors) == 2
-        # branch never applies a scale — scaling lives in twiddles only)
-        dr, di = _ct_sub_parts(cr, ci, n2, factors[1:], inverse,
-                               out_bins=h2, real_output=real_output)
-    out_r = jnp.swapaxes(dr, -1, -2).reshape(lead + (-1,))
-    if out_bins is not None:
-        out_r = out_r[..., :out_bins]
-    if real_output:
-        return out_r, None
-    out_i = jnp.swapaxes(di, -1, -2).reshape(lead + (-1,))
-    if out_bins is not None:
-        out_i = out_i[..., :out_bins]
-    return out_r, out_i
-
-
-def _ct_sub_parts(xr, xi, n: int, factors: tuple[int, ...], inverse: bool,
-                  out_bins: int | None, real_output: bool):
-    """Unscaled inner Cooley-Tukey level (the six-step recursion body):
-    identical flow to _four_step_parts but never applies the 1/n inverse
-    scale (the top level's twiddle already carries it)."""
-    n1 = factors[0]
-    n2 = n // n1
-    dt = xr.dtype
-    prec = config.MATMUL_PRECISION
-    lead = xr.shape[:-1]
-
-    def mm1(b, a):
-        return jnp.einsum("jk,...jn->...kn", b, a, precision=prec)
-
-    def mm2(a, b):
-        return jnp.einsum("...kj,jm->...km", a, b, precision=prec)
-
-    f1r, f1i = _fs_basis(n1, inverse, dt)
-    ar = xr.reshape(lead + (n1, n2))
-    ai = xi.reshape(lead + (n1, n2))
-    br = mm1(f1r, ar) - mm1(f1i, ai)
-    bi = mm1(f1i, ar) + mm1(f1r, ai)
-
-    tr, ti = _fs_twiddle(n1, n2, n, inverse, dt, 1.0)
-    cr = br * tr - bi * ti
-    ci = br * ti + bi * tr
-
-    h2 = None if out_bins is None else -(-out_bins // n1)
-    if len(factors) == 2:
-        f2r, f2i = _fs_basis(n2, inverse, dt)
-        if h2 is not None:
-            f2r, f2i = f2r[:, :h2], f2i[:, :h2]
-        dr = mm2(cr, f2r) - mm2(ci, f2i)
-        di = None if real_output else mm2(cr, f2i) + mm2(ci, f2r)
-    else:
-        dr, di = _ct_sub_parts(cr, ci, n2, factors[1:], inverse,
-                               out_bins=h2, real_output=real_output)
+        # factorized and UNscaled (this level's twiddle already carries
+        # any 1/n)
+        dr, di = _four_step_parts(cr, ci, n2, inverse, out_bins=h2,
+                                  real_output=real_output,
+                                  factors=factors[1:], scale=1.0)
     out_r = jnp.swapaxes(dr, -1, -2).reshape(lead + (-1,))
     if out_bins is not None:
         out_r = out_r[..., :out_bins]
