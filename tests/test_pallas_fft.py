@@ -439,3 +439,33 @@ def test_packed_spectrum_roundtrip_and_interop(rng):
     rows = ps.bin_to_row()
     assert rows.shape == (nfft // 2 + 1,)
     assert sorted(rows.tolist()) == sorted(set(rows.tolist()))
+
+
+def test_istft_packed_every_supported_geometry(rng):
+    """Pre-norm reconstruction parity across the ENTIRE packed-inverse
+    geometry lattice (every pow2 nfft in [256, 4096] x every 16-aligned
+    dividing hop with q <= 128): the OLA strip/spill/epilogue arithmetic
+    must be exact for every (q, tk, steps) shape — the round-5 restructure
+    touched all of it.  Pre-norm comparison sidesteps the 1/w^2 guard
+    amplification at window edges (identical in both paths)."""
+    from vv_dsp_tpu.ops import fft as _fft
+
+    checked = 0
+    for nfft in (256, 512, 1024, 2048, 4096):
+        for hop in (16, 32, 64, 128, 256, 512, 1024, 2048):
+            if hop >= nfft or nfft % hop or nfft // hop > 128:
+                continue
+            nf = 7
+            n = (nf - 1) * hop + nfft
+            x = jnp.asarray(rng.standard_normal((1, n)).astype(np.float32))
+            plan = STFT(nfft, hop)
+            spec = plan.process(x, rfft=True)
+            ref = plan._ola_norm(_fft.irfft(spec, nfft), n)
+            got = pf.istft_packed(spec, nfft, hop, n, rfft=True,
+                                  interpret=True)
+            norm = pf._ola_norm_table(nfft, hop, nf, n, "hann", None)
+            d = np.abs(np.asarray((got - ref)) * norm).max()
+            scale = max(1.0, float(jnp.abs(x).max()) * nfft)
+            assert d / scale < 5e-6, (nfft, hop, d)
+            checked += 1
+    assert checked >= 20, checked
