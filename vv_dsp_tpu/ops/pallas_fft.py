@@ -1439,8 +1439,13 @@ def _spectrum_packed_planes(x, nfft: int, hop: int, window: str,
         if m == 2048 and tk != 256:
             manual = False
     if not manual:
+        # small geometries (m <= 256) take the 768-wide tile: their whole
+        # footprint is ~5 MB, far under every measured ceiling, and the
+        # 512-point row gains +5% (6,011 -> 6,318 Msps same-process A/B,
+        # round 5); the 512 cap remains the large-m lesson
         tk = _pick_tk(nf, 4 * (2 * m + 4 * m_pad + hop),
-                      fixed_bytes=4 * 128 * hop + 2 ** 20)
+                      fixed_bytes=4 * 128 * hop + 2 ** 20,
+                      cap=768 if m <= 256 else 512)
     lstop = min(_LSTOP, m)
     n_stages = (m // lstop).bit_length() - 1
     nf_p = _round_up(nf, tk)
