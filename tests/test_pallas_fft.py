@@ -388,7 +388,8 @@ def test_stft_mel_wide_tiles_match_xla(rng, nf_target, tk_expect):
     assert np.abs(got - ref).max() / scale < 5e-6
 
 
-@pytest.mark.parametrize("nfft,hop", [(1024, 256), (256, 64)])
+@pytest.mark.parametrize("nfft,hop", [(1024, 256), (256, 64),
+                                      (512, 128), (2048, 1024)])
 def test_gate_split_matches_fused(rng, nfft, hop):
     """The split spectrum->masked-inverse pair (round 5, the SpectralGate
     fast path) must reproduce the fused gate kernel on every retained
